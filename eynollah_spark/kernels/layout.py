@@ -1,0 +1,677 @@
+"""Per-document layout + reading-order kernel (pure numpy, no Spark).
+
+Symbolic re-expression of eynollah's heuristic core on span bounding
+boxes instead of pixel rasters. Reference semantics preserved
+(citations into /root/reference):
+
+* C5  column-split detection   src/eynollah/utils/__init__.py:245-489
+      (projection profile -> gaussian smooth -> valley peaks -> balance
+      pruning / merge of close peaks)
+* C10 marginalia detection     src/eynollah/utils/marginals.py:9-185
+      (main-text x-span vs low-mass side humps)
+* C11 marginal L/R split+sort  src/eynollah/eynollah.py:1923-1947
+* D1  in-region line sort      src/eynollah/eynollah.py:891-944
+      (row clustering of line centers, top-down rows, left-right in row)
+* D2  separator/splitter scan  src/eynollah/utils/__init__.py:1280-1487
+      (full-width horizontal separators and multi-column-spanning
+      regions become page splitters `splitter_y`)
+* D4  XY-cut box emission      src/eynollah/utils/__init__.py:1489-1885
+      (per y-band column boxes in reading order, RTL flip at
+      utils/__init__.py:1522-1524,1866-1879)
+* D5  region->box assignment   src/eynollah/eynollah.py:1143-1244
+      (strict bbox containment, center fallback, nearest-center fallback)
+* D6  within-box ordering      src/eynollah/utils/__init__.py:1021-1145
+      (y-band bucket then center-x sort)
+* D8  serialization order      src/eynollah/utils/xml.py:49-66 +
+      src/eynollah/writer.py:184-290
+      (left marginalia top-down -> ordered text regions (lines in D1
+      order) -> right marginalia top-down -> images -> separators ->
+      tables)
+
+The kernel is a pure function of small per-document arrays; Spark's
+role (see eynollah_spark.pipeline) is to run millions of these in
+parallel inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+KIND_TEXT = "text"
+KIND_IMAGE = "image"
+KIND_SEPARATOR = "separator"
+KIND_TABLE = "table"
+KIND_MARGINALIA = "marginalia"
+
+# --- tunables (symbolic counterparts of reference constants) -----------------
+_VALLEY_FRAC = 0.12        # valley threshold vs profile max (C5 cutoff analogue)
+_RUN_FRAC = 0.05           # run threshold for main-vs-marginal segmentation
+_MARG_AREA_FRAC = 0.25     # marginal hump must have < this x main run area (C10 guard)
+_MARG_WIDTH_FRAC = 0.50    # ... and < this x main run width
+_GUTTER_MERGE_FRAC = 0.03  # merge column peaks closer than this x page width (C5 :409-433)
+_COL_MIN_MASS = 0.06       # balance pruning: drop columns lighter than this (C5 :390-405)
+_SPLITTER_X0 = 0.16        # full-width separator rule (D2 :1444-1457)
+_SPLITTER_X1 = 0.84
+_SPAN_MARGIN_FRAC = 0.04   # a line "spans" a gutter if it sticks out this much both sides
+_REGION_XOVERLAP = 0.35    # line->region clustering x-overlap ratio
+_REGION_GAP_FACTOR = 1.7   # ... and vertical gap <= factor*min(h)+4
+_ROW_THR_FRAC = 0.5        # D6 row clustering threshold vs median region height
+_LINE_ROW_DIV = 1.5        # D1: same row iff gap <= median pitch / 1.5 (eynollah.py:916-922)
+
+
+@dataclass
+class DocSpans:
+    """Flat arrays for one document (aligned by span index)."""
+
+    kind: np.ndarray       # object array of str
+    text: np.ndarray       # object array of str|None
+    media_ref: np.ndarray  # object array of str|None
+    offset: np.ndarray     # int64
+    x0: np.ndarray         # float64
+    x1: np.ndarray
+    y0: np.ndarray
+    y1: np.ndarray
+    width: int
+    height: int
+    rtl: bool = False
+
+    @property
+    def n(self) -> int:
+        return len(self.kind)
+
+
+# ---------------------------------------------------------------- profiles ---
+
+def coverage_profile(x0, x1, weights, width, bins=1024):
+    """Weighted x-coverage histogram (the symbolic 'column sum' of the
+    text mask, cf. utils/__init__.py:277-279)."""
+    bins = int(min(max(int(width), 8), bins))
+    scale = bins / float(width)
+    lo = np.clip((np.asarray(x0) * scale).astype(np.int64), 0, bins - 1)
+    hi = np.clip((np.asarray(x1) * scale).astype(np.int64) + 1, 1, bins)
+    d = np.zeros(bins + 1)
+    np.add.at(d, lo, weights)
+    np.add.at(d, hi, -np.asarray(weights, dtype=float))
+    return np.cumsum(d)[:-1], scale
+
+
+def gaussian_smooth(p, sigma):
+    """1-D gaussian smoothing (cf. scipy gaussian_filter1d use at
+    utils/__init__.py:277, sigma=25 on ~2500px pages)."""
+    sigma = max(float(sigma), 0.5)
+    r = int(max(1, round(3 * sigma)))
+    t = np.arange(-r, r + 1, dtype=float)
+    k = np.exp(-0.5 * (t / sigma) ** 2)
+    k /= k.sum()
+    return np.convolve(p, k, mode="same")
+
+
+def _runs_above(p, thr):
+    """Contiguous index runs where p > thr -> list of (start, end) half-open."""
+    above = p > thr
+    if not above.any():
+        return []
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], above.view(np.int8), [0]))))
+    return list(zip(idx[0::2], idx[1::2]))
+
+
+# ------------------------------------------------------- marginalia (C10) ---
+
+def _find_peaks(y, min_distance):
+    """Plateau-aware local maxima with min-distance suppression and
+    prominences (stand-in for scipy.signal.find_peaks as used at
+    utils/marginals.py:74-78)."""
+    n = len(y)
+    peaks = []
+    i = 1
+    while i < n - 1:
+        if y[i] > y[i - 1]:
+            j = i
+            while j + 1 < n and y[j + 1] == y[i]:
+                j += 1
+            if j + 1 < n and y[j + 1] < y[i]:
+                peaks.append((i + j) // 2)
+            i = j + 1
+        else:
+            i += 1
+    if not peaks:
+        return np.array([], dtype=np.int64), np.array([])
+    peaks = np.array(peaks, dtype=np.int64)
+    # min-distance suppression, keeping higher peaks (scipy semantics)
+    order = np.argsort(-y[peaks], kind="stable")
+    keep = np.ones(len(peaks), dtype=bool)
+    for oi in order:
+        if not keep[oi]:
+            continue
+        close = np.abs(peaks - peaks[oi]) < min_distance
+        close[oi] = False
+        keep &= ~(close & (y[peaks] <= y[peaks[oi]]))
+        keep[oi] = True
+    peaks = peaks[keep]
+    peaks.sort()
+    # prominences
+    prom = np.empty(len(peaks))
+    for k, p in enumerate(peaks):
+        lv = y[p]
+        lmin = lv
+        i = p - 1
+        while i >= 0 and y[i] <= lv:
+            lmin = min(lmin, y[i])
+            i -= 1
+        rmin = lv
+        i = p + 1
+        while i < n and y[i] <= lv:
+            rmin = min(rmin, y[i])
+            i += 1
+        prom[k] = lv - max(lmin, rmin)
+    return peaks, prom
+
+
+def split_main_and_marginal(x0, x1, y0, y1, width, height, num_col):
+    """Return (marg_mask, main_lo, main_hi) over the given text lines.
+
+    Faithful symbolic port of get_marginals (utils/marginals.py:9-185):
+
+    * horizontal erosion of the text mask (1x5 kernel, 6 iterations, plus
+      extra passes for tall pages, marginals.py:25-38) -> shrink each
+      line's x-extent by an erosion margin;
+    * column-sum projection; bail out if the max text thickness is below
+      14% of page height (marginals.py:62);
+    * valleys = peaks of the inverted projection (distance>=30), scored
+      prominence*height (marginals.py:74-78), kept only where the
+      projection is below max/20 (min_text_thickness, :42);
+    * valleys must lie beyond the midpoint (1 column) or mid+-1/3
+      (2 columns) (:85-92); >2 columns -> no marginalia (:93-95);
+    * the best-scoring valley per side becomes point_left/point_right;
+      a side scoring <0.1x the other is dropped (:106-129);
+    * text whose center falls outside [point_left, point_right] is
+      marginalia (:155-166).
+    """
+    n = len(x0)
+    marg = np.zeros(n, dtype=bool)
+    if n == 0 or num_col > 2:
+        return marg, 0.0, float(width)
+    # horizontal erosion amount (marginals.py:25-38: 6x 1x5 plus 5-7x 5x5
+    # at reduced scale for pages taller than 1500/1800 px)
+    ex = 12.0 if height <= 1500 else (22.0 if height <= 1800 else 26.0)
+    ex0, ex1 = x0 + ex, x1 - ex
+    keepm = ex1 > ex0
+    h = np.maximum(y1 - y0, 1.0)
+    if not keepm.any():
+        return marg, 0.0, float(width)
+    p, scale = coverage_profile(ex0[keepm], ex1[keepm], h[keepm], width)
+    mx = p.max()
+    if mx <= 0 or 100.0 * mx / height < 14.0:
+        return marg, 0.0, float(width)
+    min_thick = mx / 20.0
+    nz = np.flatnonzero(gaussian_smooth(p, 1.0 * scale) > 1e-9)
+    first_nz, last_nz = nz[0], nz[-1]
+    mid = 0.5 * (first_nz + last_nz)
+    third_l = (mid - first_nz) / 3.0
+    third_r = (last_nz - mid) / 3.0
+    rev = mx - p
+    peaks, prom = _find_peaks(rev, max(2, int(30 * scale)))
+    if len(peaks) == 0:
+        return marg, 0.0, float(width)
+    scores = prom * rev[peaks]
+    ok = (peaks > first_nz) & (peaks < last_nz) & (p[peaks] < min_thick)
+    peaks, scores = peaks[ok], scores[ok]
+    if num_col == 1:
+        left = peaks < mid
+        right = peaks > mid
+    else:
+        left = peaks < mid - third_l
+        right = peaks > mid + third_r
+    best_l = scores[left].max() if left.any() else None
+    best_r = scores[right].max() if right.any() else None
+    if best_l is None and best_r is None:
+        return marg, 0.0, float(width)
+    point_left, point_right = 0.0, float(width)
+    if best_l is not None and (best_r is None or best_l >= 0.1 * best_r):
+        point_left = peaks[left][int(np.argmax(scores[left]))] / scale
+    if best_r is not None and (best_l is None or best_r >= 0.1 * best_l):
+        point_right = peaks[right][int(np.argmax(scores[right]))] / scale
+    cx = (x0 + x1) / 2.0
+    # a true marginal column recurs along the page: require each side's
+    # candidate lines to cover >=8% of page height, else it is a stray
+    # page-number / catch-word, not marginalia (symbolic-domain guard on
+    # top of min_text_thickness, cf. marginals.py:42,83)
+    for side_mask, reset in (
+        (cx < point_left, "l"),
+        (cx > point_right, "r"),
+    ):
+        if side_mask.any() and h[side_mask].sum() < 0.08 * height:
+            if reset == "l":
+                point_left = 0.0
+            else:
+                point_right = float(width)
+    marg = (cx < point_left) | (cx > point_right)
+    # no main text left -> treat all as main (marginals.py:183-185)
+    if marg.all():
+        return np.zeros(n, dtype=bool), 0.0, float(width)
+    body = ~marg
+    return marg, float(np.min(x0[body])), float(np.max(x1[body]))
+
+
+# ------------------------------------------------------------ columns (C5) ---
+
+def find_gutters(x0, x1, y0, y1, width, vsep_cx=(), xlo=None, xhi=None):
+    """Column gutter x-positions among the given text lines.
+
+    Port of find_num_col semantics (utils/__init__.py:245-489): smoothed
+    projection valleys below a cutoff become column peaks; peaks closer
+    than a merge distance collapse (:409-433); unbalanced splits are
+    dropped (:390-405). Vertical separators contribute high-strength
+    candidates (the matrix_of_seps path, :1400-1417).
+    """
+    if len(x0) == 0:
+        return []
+    h = np.maximum(y1 - y0, 1.0)
+    p_raw, scale = coverage_profile(x0, x1, h, width)
+    p = gaussian_smooth(p_raw, max(1.0, width / 150.0) * scale)
+    mx = p.max()
+    if mx <= 0:
+        return []
+    lo = float(np.min(x0)) if xlo is None else float(xlo)
+    hi = float(np.max(x1)) if xhi is None else float(xhi)
+    ilo, ihi = int(lo * scale) + 1, int(hi * scale) - 1
+    if ihi <= ilo:
+        return []
+    # valley runs inside the interior
+    below = p < _VALLEY_FRAC * mx
+    below[: max(ilo, 0)] = False
+    below[min(ihi, len(p)) :] = False
+    cand = []  # (x, strength)
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], below.view(np.int8), [0]))))
+    for a, b in zip(idx[0::2], idx[1::2]):
+        cand.append(((a + b) / 2.0 / scale, 0.5))
+    for v in vsep_cx:
+        if lo < v < hi:
+            cand.append((float(v), 1.0))
+    if not cand:
+        return []
+    cand.sort()
+    # merge close candidates, keeping the stronger (C5 :409-433)
+    merged = []
+    merge_d = _GUTTER_MERGE_FRAC * width
+    for x, s in cand:
+        if merged and x - merged[-1][0] < merge_d:
+            if s > merged[-1][1]:
+                merged[-1] = (x, s)
+        else:
+            merged.append((x, s))
+    gutters = merged
+    # balance pruning (C5 :390-405): drop gutters bounding near-empty columns
+    area = np.maximum(x1 - x0, 1.0) * h
+    total = area.sum()
+    while gutters:
+        edges = [lo] + [g for g, _ in gutters] + [hi]
+        cx = (x0 + x1) / 2.0
+        masses = np.array(
+            [area[(cx >= edges[i]) & (cx < edges[i + 1])].sum() for i in range(len(edges) - 1)]
+        )
+        weakest = int(np.argmin(masses))
+        if masses[weakest] >= _COL_MIN_MASS * total:
+            break
+        # remove the weaker of the gutters bounding the weakest column
+        adj = [i for i in (weakest - 1, weakest) if 0 <= i < len(gutters)]
+        drop = min(adj, key=lambda i: gutters[i][1])
+        gutters.pop(drop)
+    return [g for g, _ in gutters]
+
+
+# --------------------------------------------------------- splitters (D2) ---
+
+def find_splitters(tx0, tx1, ty0, ty1, hseps, gutters, width, height, main_lo, main_hi,
+                   vseps=()):
+    """y-positions that split the page into XY-cut bands.
+
+    D2 port (utils/__init__.py:1444-1457): horizontal separators spanning
+    the main text width become splitters; D4's heading handling
+    (:1708-1721) splits multi-column-spanning text lines into their own
+    band via top/baseline splitter pairs. On single-column pages,
+    centered short lines (section headings) act as band splitters too —
+    the symbolic counterpart of D6's projection-valley banding
+    (utils/__init__.py:1050-1076), which separates heading rows from
+    paragraph rows on 1-col pages.
+    """
+    ys = [0.0, float(height)]
+    mw = max(main_hi - main_lo, 1.0)
+    for sx0, sx1, sy0, sy1 in hseps:
+        if sx0 <= main_lo + _SPLITTER_X0 * mw and sx1 >= main_lo + _SPLITTER_X1 * mw:
+            ys.append((sy0 + sy1) / 2.0)
+    span_mask = spanning_lines(tx0, tx1, gutters, width)
+    if not gutters:
+        # 1-column page: centered short lines split bands
+        col_cx = main_lo + mw / 2.0
+        w = tx1 - tx0
+        cxs = (tx0 + tx1) / 2.0
+        span_mask = span_mask | ((w <= 0.5 * mw) & (np.abs(cxs - col_cx) <= 0.08 * mw))
+    for i in np.flatnonzero(span_mask):
+        ys.append(float(ty0[i]) - 0.5)
+        ys.append(float(ty1[i]) + 0.5)
+    # vertical-separator extents bound their column split (D4's sweep walks
+    # each separator's y-range, utils/__init__.py:1794-1864: below the last
+    # vertical separator the band reverts to full width) -> their top and
+    # bottom edges are band splitters, unless that would cut a text line
+    # roughly in half (the symbolic stand-in for D4's per-column
+    # next-separator walk).
+    h = np.maximum(ty1 - ty0, 1.0)
+    for vy0, vy1 in vseps:
+        for y in (float(vy0) - 0.5, float(vy1) + 0.5):
+            strad = (ty0 < y) & (ty1 > y)
+            if strad.any():
+                frac = np.minimum(y - ty0[strad], ty1[strad] - y) / h[strad]
+                if (frac > 0.3).any():
+                    continue
+            ys.append(y)
+    ys = sorted(set(ys))
+    out = [ys[0]]
+    for y in ys[1:]:
+        if y - out[-1] > 1.0:
+            out.append(y)
+    if out[-1] < height:
+        out[-1] = float(height)
+    return out, span_mask
+
+
+def merge_vertical_separators(vcx, vboxes, width):
+    """Collapse near-duplicate parallel rules (double-line separators are
+    common in historical prints) into one separator with the union of
+    their y-extents — mirrors the reference's morphology step that fuses
+    them into one contour (utils/__init__.py:1337-1349)."""
+    if not vcx:
+        return [], []
+    order = np.argsort(vcx)
+    merged = []  # [cx, y0, y1]
+    d = _GUTTER_MERGE_FRAC * width
+    for k in order:
+        if merged and vcx[k] - merged[-1][0] < d:
+            m = merged[-1]
+            m[1] = min(m[1], vboxes[k][0])
+            m[2] = max(m[2], vboxes[k][1])
+        else:
+            merged.append([float(vcx[k]), float(vboxes[k][0]), float(vboxes[k][1])])
+    return [m[0] for m in merged], [(m[1], m[2]) for m in merged]
+
+
+def spanning_lines(tx0, tx1, gutters, width):
+    """Mask of lines crossing >=1 column gutter with margin on both sides
+    (the 'large components spanning >=2 columns' rule, utils/__init__.py:1723-1761)."""
+    n = len(tx0)
+    mask = np.zeros(n, dtype=bool)
+    if not gutters or n == 0:
+        return mask
+    m = _SPAN_MARGIN_FRAC * width
+    for g in gutters:
+        mask |= (tx0 < g - m) & (tx1 > g + m)
+    return mask
+
+
+# ------------------------------------------------- region clustering (C16) ---
+
+def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
+    """Group text lines into regions (paragraph blocks).
+
+    Inverse of the reference's C16 (lines are assigned to model-detected
+    regions via point-in-polygon, eynollah.py:946-980); symbolically we
+    *infer* the regions: lines merge when they x-overlap, are vertically
+    adjacent, share the anchor edge (left edge for LTR paragraphs, right
+    for RTL — justified text aligns there, neighboring columns never
+    do), and lie in the same XY-cut band (a splitter between two lines
+    is a region boundary by construction, cf. D4).
+    """
+    n = len(x0)
+    parent = np.arange(n)
+    if n == 0:
+        return parent
+    if band is None:
+        band = np.zeros(n, dtype=np.int64)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    order = np.argsort(y0, kind="stable")
+    h = np.maximum(y1 - y0, 1.0)
+    w = np.maximum(x1 - x0, 1.0)
+    anchor = x1 if rtl else x0
+    max_gap = _REGION_GAP_FACTOR * h.max() + 4
+    for a in range(n):
+        i = order[a]  # i is above (or level with) j
+        for b in range(a + 1, n):
+            j = order[b]
+            dy = y0[j] - y1[i]
+            if dy > max_gap:
+                break
+            if band[i] != band[j]:
+                continue
+            if max(dy, 0.0) > _REGION_GAP_FACTOR * min(h[i], h[j]) + 4:
+                continue
+            ov = min(x1[i], x1[j]) - max(x0[i], x0[j])
+            if ov / min(w[i], w[j]) < _REGION_XOVERLAP:
+                continue
+            if abs(anchor[i] - anchor[j]) <= 1.2 * max(h[i], h[j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    return np.array([find(i) for i in range(n)])
+
+
+# --------------------------------------------------- ordering (D4/D5/D6/D1) ---
+
+def _row_cluster(cy, thr):
+    """Cluster sorted-by-cy items into rows; returns row ids aligned with input order."""
+    order = np.argsort(cy, kind="stable")
+    rows = np.zeros(len(cy), dtype=np.int64)
+    row = 0
+    ref = None
+    for k in order:
+        if ref is not None and cy[k] - ref > thr:
+            row += 1
+            ref = cy[k]
+        elif ref is None:
+            ref = cy[k]
+        rows[k] = row
+    return rows
+
+
+def order_lines_in_region(cx, cy, rtl):
+    """D1 (eynollah.py:891-944): row-cluster line centers with threshold
+    median-pitch/1.5, rows top-down, left-right (or RTL) within a row."""
+    n = len(cx)
+    if n <= 1:
+        return np.arange(n)
+    scy = np.sort(cy)
+    d = np.diff(scy)
+    pos = d[d > 1e-9]
+    pitch = float(np.median(pos)) if len(pos) else float("inf")
+    rows = _row_cluster(cy, pitch / _LINE_ROW_DIV)
+    xkey = -cx if rtl else cx
+    return np.lexsort((xkey, rows))
+
+
+def layout_document(doc: DocSpans):
+    """Full per-document pipeline; returns (perm, out_kind) where perm is
+    the index permutation of doc spans in final reading order and
+    out_kind the (possibly refined) kind per *output* position.
+
+    Serialization order per D8 (utils/xml.py:49-66, writer.py:184-290):
+    marg-L -> ordered text -> marg-R -> images -> separators -> tables.
+    """
+    n = doc.n
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
+    kind = doc.kind
+    x0, x1, y0, y1 = (np.asarray(a, dtype=float) for a in (doc.x0, doc.x1, doc.y0, doc.y1))
+    cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    W, H = float(doc.width), float(doc.height)
+
+    is_text = kind == KIND_TEXT
+    is_img = kind == KIND_IMAGE
+    is_sep = kind == KIND_SEPARATOR
+    is_tab = kind == KIND_TABLE
+    tix = np.flatnonzero(is_text)
+
+    # separator geometry split (C3, utils/__init__.py:187-219)
+    sep_ix = np.flatnonzero(is_sep)
+    sw, sh = x1[sep_ix] - x0[sep_ix], y1[sep_ix] - y0[sep_ix]
+    hsep_ix = sep_ix[sw >= sh]
+    vsep_ix = sep_ix[sw < sh]
+
+    vcx, vboxes = merge_vertical_separators(
+        cx[vsep_ix].tolist(), [(y0[i], y1[i]) for i in vsep_ix], W
+    )
+
+    # --- page-level column estimate (B5 heuristic stand-in: peak count of
+    # the x-projection, cf. find_num_col utils/__init__.py:245-489)
+    gutters_all = find_gutters(x0[tix], x1[tix], y0[tix], y1[tix], W, vsep_cx=vcx)
+    num_col_est = len(gutters_all) + 1
+
+    # --- C10 marginalia over text lines
+    marg_mask_t, main_lo, main_hi = split_main_and_marginal(
+        x0[tix], x1[tix], y0[tix], y1[tix], W, H, num_col_est
+    )
+    marg_ix = tix[marg_mask_t]
+    body_ix = tix[~marg_mask_t]
+
+    ordered_text = _order_body_text(
+        body_ix, x0, x1, y0, y1, cx, cy, W, H,
+        hseps=[(x0[i], x1[i], y0[i], y1[i]) for i in hsep_ix],
+        vsep_cx=vcx,
+        vsep_boxes=vboxes,
+        main_lo=main_lo, main_hi=main_hi, rtl=doc.rtl,
+    )
+
+    # --- C11 marginal split + D1 within marginal regions
+    marg_l, marg_r = _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, doc.rtl)
+
+    def _by_pos(ix):
+        if len(ix) == 0:
+            return ix
+        return ix[np.lexsort((doc.offset[ix], cx[ix], cy[ix]))]
+
+    perm = np.concatenate(
+        [
+            marg_l,
+            ordered_text,
+            marg_r,
+            _by_pos(np.flatnonzero(is_img)),
+            _by_pos(sep_ix),
+            _by_pos(np.flatnonzero(is_tab)),
+        ]
+    ).astype(np.int64)
+    out_kind = np.array(
+        [KIND_MARGINALIA if i in set(marg_ix.tolist()) else kind[i] for i in perm],
+        dtype=object,
+    )
+    return perm, out_kind
+
+
+def _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, rtl):
+    """C11 (eynollah.py:1923-1947): split marginals at the page midline,
+    order each side's regions top-down, lines in D1 order within."""
+    if len(marg_ix) == 0:
+        return marg_ix.copy(), marg_ix.copy()
+    labels = cluster_lines_into_regions(x0[marg_ix], x1[marg_ix], y0[marg_ix], y1[marg_ix], rtl=rtl)
+    out_l, out_r = [], []
+    regs = []
+    for lab in np.unique(labels):
+        members = marg_ix[labels == lab]
+        rcy = cy[members].mean()
+        rcx = cx[members].mean()
+        regs.append((rcy, rcx, members))
+    regs.sort(key=lambda t: (t[0], t[1]))
+    for rcy, rcx, members in regs:
+        sub = order_lines_in_region(cx[members], cy[members], rtl)
+        seq = members[sub]
+        (out_l if rcx < W / 2.0 else out_r).extend(seq.tolist())
+    return np.array(out_l, dtype=np.int64), np.array(out_r, dtype=np.int64)
+
+
+def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
+                     hseps, vsep_cx, vsep_boxes, main_lo, main_hi, rtl):
+    """D2 + D4 + D5 + D6 + D1 over the non-marginal text lines."""
+    if len(body_ix) == 0:
+        return body_ix.copy()
+    bx0, bx1, by0, by1 = x0[body_ix], x1[body_ix], y0[body_ix], y1[body_ix]
+    bcx, bcy = cx[body_ix], cy[body_ix]
+
+    # page-level gutters (C5) then band splitters (D2)
+    gutters_page = find_gutters(bx0, bx1, by0, by1, W, vsep_cx=vsep_cx,
+                                xlo=main_lo, xhi=main_hi)
+    splitters, span_mask = find_splitters(bx0, bx1, by0, by1, hseps,
+                                          gutters_page, W, H, main_lo, main_hi,
+                                          vseps=vsep_boxes)
+
+    # D4: boxes per band, columns left->right (RTL flips, :1522-1524,1866-1879)
+    boxes = []  # (bx0, bx1, by0, by1)
+    for lo, hi in zip(splitters[:-1], splitters[1:]):
+        in_band = (bcy >= lo) & (bcy < hi)
+        if not in_band.any():
+            continue
+        vband = [v for v, (vy0, vy1) in zip(vsep_cx, vsep_boxes)
+                 if min(vy1, hi) - max(vy0, lo) >= 0.3 * max(min(vy1 - vy0, hi - lo), 1.0)]
+        g = find_gutters(bx0[in_band], bx1[in_band], by0[in_band], by1[in_band], W,
+                         vsep_cx=vband)
+        ex0, ex1 = float(bx0[in_band].min()), float(bx1[in_band].max())
+        edges = [ex0] + [x for x in g if ex0 < x < ex1] + [ex1]
+        cols = list(zip(edges[:-1], edges[1:]))
+        if rtl:
+            cols = cols[::-1]
+        for cxa, cxb in cols:
+            boxes.append((cxa, cxb, lo, hi))
+    if not boxes:
+        boxes = [(0.0, W, 0.0, H)]
+    barr = np.array(boxes)
+    bcenx, bceny = (barr[:, 0] + barr[:, 1]) / 2.0, (barr[:, 2] + barr[:, 3]) / 2.0
+
+    # regions from lines (C16 inverse), band-aware
+    band_id = np.searchsorted(np.asarray(splitters), bcy, side="right") - 1
+    labels = cluster_lines_into_regions(bx0, bx1, by0, by1, band=band_id, rtl=rtl)
+    uniq = np.unique(labels)
+    rx0 = np.array([bx0[labels == u].min() for u in uniq])
+    rx1 = np.array([bx1[labels == u].max() for u in uniq])
+    ry0 = np.array([by0[labels == u].min() for u in uniq])
+    ry1 = np.array([by1[labels == u].max() for u in uniq])
+    rcx, rcy = (rx0 + rx1) / 2.0, (ry0 + ry1) / 2.0
+
+    # D5: assign each region to a box
+    box_of = np.zeros(len(uniq), dtype=np.int64)
+    for r in range(len(uniq)):
+        contain = np.flatnonzero(
+            (barr[:, 0] <= rx0[r]) & (barr[:, 1] >= rx1[r])
+            & (barr[:, 2] <= ry0[r]) & (barr[:, 3] >= ry1[r])
+        )
+        if len(contain) == 0:
+            contain = np.flatnonzero(
+                (barr[:, 0] <= rcx[r]) & (barr[:, 1] > rcx[r])
+                & (barr[:, 2] <= rcy[r]) & (barr[:, 3] > rcy[r])
+            )
+        cand = contain if len(contain) else np.arange(len(barr))
+        d = (bcenx[cand] - rcx[r]) ** 2 + (bceny[cand] - rcy[r]) ** 2
+        box_of[r] = cand[int(np.argmin(d))]
+
+    # D6 within box: row-cluster region centers, sort rows top-down, cx in row
+    order_regions = []  # list of region indices in final order
+    for b in range(len(barr)):
+        rs = np.flatnonzero(box_of == b)
+        if len(rs) == 0:
+            continue
+        heights = ry1[rs] - ry0[rs]
+        thr = max(8.0, _ROW_THR_FRAC * float(np.median(heights)))
+        rows = _row_cluster(rcy[rs], thr)
+        xkey = -rcx[rs] if rtl else rcx[rs]
+        order_regions.extend(rs[np.lexsort((rcy[rs], xkey, rows))].tolist())
+
+    # D1 within each region, concatenate
+    out = []
+    for r in order_regions:
+        members = np.flatnonzero(labels == uniq[r])
+        sub = order_lines_in_region(bcx[members], bcy[members], rtl)
+        out.extend(body_ix[members[sub]].tolist())
+    return np.array(out, dtype=np.int64)

@@ -1,0 +1,128 @@
+"""Span-sequence equality gate (BASELINE.json input_hint): the layout
+kernel must reproduce the reference's PAGE-XML reading order on its own
+ground-truth test pages, span for span on (kind, text, media_ref, order).
+"""
+
+import numpy as np
+import pytest
+
+from eynollah_spark.fixtures import FIXTURE_FILES, load_fixture
+from eynollah_spark.kernels.layout import (
+    DocSpans,
+    cluster_lines_into_regions,
+    find_gutters,
+    layout_document,
+    order_lines_in_region,
+    split_main_and_marginal,
+)
+
+
+def doc_to_arrays(doc):
+    arr = lambda i, dt=object: np.array([s[i] for s in doc.spans], dtype=dt)
+    return DocSpans(
+        kind=arr(0), text=arr(1), media_ref=arr(2), offset=arr(3, np.int64),
+        x0=arr(4, float), x1=arr(5, float), y0=arr(6, float), y1=arr(7, float),
+        width=doc.width, height=doc.height,
+    )
+
+
+@pytest.mark.parametrize("doc_id", list(FIXTURE_FILES))
+def test_reference_fixture_span_sequence(doc_id):
+    doc = load_fixture(doc_id)
+    d = doc_to_arrays(doc)
+    perm, kinds = layout_document(d)
+    got = [
+        (kinds[p], d.text[i], d.media_ref[i], int(d.offset[i]))
+        for p, i in enumerate(perm)
+    ]
+    assert got == doc.expected
+
+
+def test_every_span_emitted_exactly_once():
+    # property mirrored from the reference's own assertion
+    # (utils/__init__.py:1139-1143: every region indexed exactly once)
+    for doc_id in FIXTURE_FILES:
+        d = doc_to_arrays(load_fixture(doc_id))
+        perm, _ = layout_document(d)
+        assert sorted(perm.tolist()) == list(range(d.n))
+
+
+def test_empty_and_degenerate_docs():
+    empty = DocSpans(*(np.array([], dtype=object),) * 3,
+                     offset=np.array([], dtype=np.int64),
+                     x0=np.array([]), x1=np.array([]), y0=np.array([]), y1=np.array([]),
+                     width=1000, height=1000)
+    perm, kinds = layout_document(empty)
+    assert len(perm) == 0
+    one = DocSpans(
+        kind=np.array(["text"], dtype=object),
+        text=np.array(["hello"], dtype=object),
+        media_ref=np.array([None], dtype=object),
+        offset=np.array([0], dtype=np.int64),
+        x0=np.array([10.0]), x1=np.array([500.0]),
+        y0=np.array([10.0]), y1=np.array([40.0]),
+        width=1000, height=1000,
+    )
+    perm, kinds = layout_document(one)
+    assert perm.tolist() == [0] and kinds[0] == "text"
+
+
+def test_line_sort_rows_then_x():
+    # two rows, two lines each (D1, eynollah.py:891-944)
+    cx = np.array([500.0, 100.0, 500.0, 100.0])
+    cy = np.array([100.0, 100.0, 200.0, 200.0])
+    order = order_lines_in_region(cx, cy, rtl=False)
+    assert order.tolist() == [1, 0, 3, 2]
+    order = order_lines_in_region(cx, cy, rtl=True)
+    assert order.tolist() == [0, 1, 2, 3]
+
+
+def test_find_gutters_two_columns():
+    # 20 lines in each of two columns -> one gutter in the gap
+    y0 = np.arange(20, dtype=float) * 30
+    y1 = y0 + 20
+    x0 = np.concatenate([np.full(20, 100.0), np.full(20, 600.0)])
+    x1 = np.concatenate([np.full(20, 450.0), np.full(20, 950.0)])
+    g = find_gutters(x0, x1, np.tile(y0, 2), np.tile(y1, 2), 1000)
+    assert len(g) == 1 and 450 < g[0] < 600
+
+
+def test_find_gutters_single_column():
+    y0 = np.arange(20, dtype=float) * 30
+    g = find_gutters(np.full(20, 100.0), np.full(20, 900.0), y0, y0 + 20, 1000)
+    assert g == []
+
+
+def test_marginalia_split_guards():
+    # a narrow low-mass side column is marginalia; a balanced second
+    # column is not (C10 guards, marginals.py:42,62,83-95)
+    n_main, n_marg = 30, 12
+    y0m = np.arange(n_main, dtype=float) * 40 + 50
+    y0g = np.arange(n_marg, dtype=float) * 100 + 60
+    x0 = np.concatenate([np.full(n_main, 300.0), np.full(n_marg, 40.0)])
+    x1 = np.concatenate([np.full(n_main, 1100.0), np.full(n_marg, 160.0)])
+    y0 = np.concatenate([y0m, y0g])
+    y1 = y0 + 30
+    marg, lo, hi = split_main_and_marginal(x0, x1, y0, y1, 1200, 1400, num_col=1)
+    assert marg[n_main:].all() and not marg[:n_main].any()
+    # balanced two columns: nothing is marginalia (num_col=2 rule keeps
+    # the gutter valley inside mid±1/3)
+    x0b = np.concatenate([np.full(n_main, 100.0), np.full(n_main, 640.0)])
+    x1b = np.concatenate([np.full(n_main, 540.0), np.full(n_main, 1080.0)])
+    y0b = np.tile(y0m, 2)
+    margb, _, _ = split_main_and_marginal(x0b, x1b, y0b, y0b + 30, 1200, 1400, num_col=2)
+    assert not margb.any()
+
+
+def test_region_clustering_band_and_edge_rules():
+    # two stacked aligned lines merge; a line across a band boundary
+    # doesn't; misaligned edges don't
+    x0 = np.array([100.0, 100.0, 100.0, 400.0])
+    x1 = np.array([500.0, 480.0, 500.0, 500.0])
+    y0 = np.array([0.0, 30.0, 60.0, 90.0])
+    y1 = y0 + 25
+    band = np.array([0, 0, 1, 1])
+    lab = cluster_lines_into_regions(x0, x1, y0, y1, band=band)
+    assert lab[0] == lab[1]          # aligned, same band
+    assert lab[1] != lab[2]          # band boundary
+    assert lab[2] != lab[3]          # left edges misaligned
