@@ -234,15 +234,29 @@ def split_main_and_marginal(x0, x1, y0, y1, width, height, num_col):
     if best_r is not None and (best_l is None or best_r >= 0.1 * best_l):
         point_right = peaks[right][int(np.argmax(scores[right]))] / scale
     cx = (x0 + x1) / 2.0
-    # a true marginal column recurs along the page: require each side's
-    # candidate lines to cover >=8% of page height, else it is a stray
-    # page-number / catch-word, not marginalia (symbolic-domain guard on
-    # top of min_text_thickness, cf. marginals.py:42,83)
+    # symbolic-domain guards on top of min_text_thickness (marginals.py:42,83):
+    # a true marginal column (a) recurs along the page (>=8% page-height
+    # coverage — not a stray page number / catch-word), and (b) is small
+    # next to the main text (<25% of its ink area, <50% of its width —
+    # a real column is never marginalia even when a valley qualifies)
+    area = np.maximum(x1 - x0, 1.0) * h
     for side_mask, reset in (
         (cx < point_left, "l"),
         (cx > point_right, "r"),
     ):
-        if side_mask.any() and h[side_mask].sum() < 0.08 * height:
+        drop = False
+        if side_mask.any():
+            body_m = ~((cx < point_left) | (cx > point_right))
+            if h[side_mask].sum() < 0.08 * height:
+                drop = True
+            elif body_m.any():
+                if area[side_mask].sum() >= 0.25 * area[body_m].sum():
+                    drop = True
+                side_w = x1[side_mask].max() - x0[side_mask].min()
+                body_w = x1[body_m].max() - x0[body_m].min()
+                if side_w >= 0.5 * body_w:
+                    drop = True
+        if drop:
             if reset == "l":
                 point_left = 0.0
             else:
@@ -344,11 +358,21 @@ def find_splitters(tx0, tx1, ty0, ty1, hseps, gutters, width, height, main_lo, m
             ys.append((sy0 + sy1) / 2.0)
     span_mask = spanning_lines(tx0, tx1, gutters, width)
     if not gutters:
-        # 1-column page: centered short lines split bands
+        # 1-column page: centered short lines split bands — but only when
+        # alone in their row (a row-mate means side-by-side columns, not a
+        # heading)
         col_cx = main_lo + mw / 2.0
         w = tx1 - tx0
         cxs = (tx0 + tx1) / 2.0
-        span_mask = span_mask | ((w <= 0.5 * mw) & (np.abs(cxs - col_cx) <= 0.08 * mw))
+        cys = (ty0 + ty1) / 2.0
+        hh = np.maximum(ty1 - ty0, 1.0)
+        cand = (w <= 0.5 * mw) & (np.abs(cxs - col_cx) <= 0.08 * mw)
+        for i in np.flatnonzero(cand):
+            mates = (np.abs(cys - cys[i]) < 0.6 * np.maximum(hh, hh[i])) & (
+                np.arange(len(cys)) != i
+            )
+            if not mates.any():
+                span_mask[i] = True
     for i in np.flatnonzero(span_mask):
         ys.append(float(ty0[i]) - 0.5)
         ys.append(float(ty1[i]) + 0.5)
@@ -528,9 +552,21 @@ def layout_document(doc: DocSpans):
     )
 
     # --- page-level column estimate (B5 heuristic stand-in: peak count of
-    # the x-projection, cf. find_num_col utils/__init__.py:245-489)
+    # the x-projection, cf. find_num_col utils/__init__.py:245-489). Only
+    # substantial columns count (>=15% of ink mass) — the CNN column
+    # classifier the reference uses never counts marginal humps.
     gutters_all = find_gutters(x0[tix], x1[tix], y0[tix], y1[tix], W, vsep_cx=vcx)
-    num_col_est = len(gutters_all) + 1
+    if gutters_all and len(tix):
+        tcx = cx[tix]
+        tarea = np.maximum(x1[tix] - x0[tix], 1.0) * np.maximum(y1[tix] - y0[tix], 1.0)
+        edges = [-np.inf] + list(gutters_all) + [np.inf]
+        masses = np.array([
+            tarea[(tcx >= edges[i]) & (tcx < edges[i + 1])].sum()
+            for i in range(len(edges) - 1)
+        ])
+        num_col_est = max(1, int((masses >= 0.15 * masses.sum()).sum()))
+    else:
+        num_col_est = 1
 
     # --- C10 marginalia over text lines
     marg_mask_t, main_lo, main_hi = split_main_and_marginal(
