@@ -313,3 +313,100 @@ def corpus_to_pandas(n_docs: int, seed: int = 42, start: int = 0):
     spans = pd.DataFrame(flat)
     docs = pd.DataFrame(metas)
     return spans, docs
+
+
+# --------------------------------------------------------------- Spark side --
+
+_FLAT_CORPUS_DDL = (
+    "doc_id string, kind string, text string, media_ref string, offset int, "
+    "x0 int, x1 int, y0 int, y1 int, width int, height int, rtl boolean, "
+    "expected_kind string, expected_rank int"
+)
+
+
+def corpus_flat_spark(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic generation: each Spark task generates its
+    doc_id range independently (this is the 10^12-doc story — the corpus
+    is a pure function of doc_index, so no driver materialization and no
+    shuffle is needed to create it). Empty documents emit one marker row
+    with offset = -1 so they survive the nesting group-by."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(iterator):
+        for pdf in iterator:
+            frames = []
+            for idx in pdf["id"].tolist():
+                arrs, meta = gen_doc(int(idx), seed)
+                n = len(arrs["kind"])
+                if n == 0:
+                    frames.append(pd.DataFrame({
+                        "doc_id": [meta["doc_id"]], "kind": [None], "text": [None],
+                        "media_ref": [None], "offset": [-1], "x0": [0], "x1": [0],
+                        "y0": [0], "y1": [0], "width": [meta["width"]],
+                        "height": [meta["height"]], "rtl": [meta["rtl"]],
+                        "expected_kind": [None], "expected_rank": [-1],
+                    }))
+                    continue
+                frames.append(pd.DataFrame({
+                    "doc_id": np.full(n, meta["doc_id"], dtype=object),
+                    "kind": arrs["kind"], "text": arrs["text"],
+                    "media_ref": arrs["media_ref"],
+                    "offset": arrs["offset"].astype(np.int32),
+                    "x0": arrs["x0"].astype(np.int32), "x1": arrs["x1"].astype(np.int32),
+                    "y0": arrs["y0"].astype(np.int32), "y1": arrs["y1"].astype(np.int32),
+                    "width": np.int32(meta["width"]), "height": np.int32(meta["height"]),
+                    "rtl": meta["rtl"],
+                    "expected_kind": arrs["expected_kind"],
+                    "expected_rank": arrs["expected_rank"].astype(np.int32),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(gen, schema=_FLAT_CORPUS_DDL)
+
+
+def nest_corpus(flat):
+    """Flat span rows -> the authoritative nested documents table
+    (BASELINE.json input_hint shape + FIXTURES.md geometry sidecar)."""
+    from pyspark.sql import functions as F
+
+    packed = (
+        flat.groupBy("doc_id", "width", "height", "rtl")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "offset", "kind", "text", "media_ref", "x0", "x1", "y0", "y1"))).alias("p"))
+    )
+    real = "filter(p, r -> r.offset >= 0)"
+    return packed.select(
+        "doc_id",
+        F.expr(
+            f"transform({real}, r -> named_struct("
+            "'kind', r.kind, 'text', r.text, 'media_ref', r.media_ref, "
+            "'offset', r.offset))"
+        ).alias("spans"),
+        F.expr(
+            f"transform({real}, r -> named_struct("
+            "'x0', r.x0, 'x1', r.x1, 'y0', r.y0, 'y1', r.y1))"
+        ).alias("geom"),
+        F.expr(
+            "named_struct('width', width, 'height', height, 'dpi', 300, "
+            "'num_col_hint', 0, 'rtl', rtl)"
+        ).alias("meta"),
+    )
+
+
+def expected_spark(flat):
+    """The oracle table: expected output rows (doc_id, ord, kind, text,
+    media_ref, offset) derived from the generator's by-construction
+    reading order."""
+    from pyspark.sql import functions as F
+
+    return flat.filter(F.col("offset") >= 0).select(
+        "doc_id",
+        F.col("expected_rank").alias("ord"),
+        F.col("expected_kind").alias("kind"),
+        "text", "media_ref", "offset",
+    )

@@ -1,0 +1,88 @@
+"""End-to-end Spark pipeline gate: distributed corpus -> nested documents
+table -> extract -> span-sequence equality vs the by-construction oracle."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from eynollah_spark.corpus import corpus_flat_spark, expected_spark, nest_corpus
+from eynollah_spark.pipeline import extract, extract_flat_input
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    flat = corpus_flat_spark(spark, N_DOCS, partitions=8).cache()
+    flat.count()
+    yield flat
+    flat.unpersist()
+
+
+def _mismatches(out, exp):
+    j = out.alias("g").join(exp.alias("e"), ["doc_id", "ord"], "full_outer")
+    return j.filter(
+        F.col("g.kind").isNull() | F.col("e.kind").isNull()
+        | (F.col("g.kind") != F.col("e.kind"))
+        | (F.coalesce(F.col("g.text"), F.lit("")) != F.coalesce(F.col("e.text"), F.lit("")))
+        | (F.coalesce(F.col("g.media_ref"), F.lit("")) != F.coalesce(F.col("e.media_ref"), F.lit("")))
+        | (F.col("g.offset") != F.col("e.offset"))
+    ).count()
+
+
+def test_extract_matches_oracle(spark, corpus):
+    docs = nest_corpus(corpus)
+    out = extract(docs, partitions=8, nested=False)
+    assert _mismatches(out, expected_spark(corpus)) == 0
+
+
+def test_extract_flat_input_matches(spark, corpus):
+    out = extract_flat_input(corpus.drop("expected_kind", "expected_rank"), partitions=8)
+    assert _mismatches(out, expected_spark(corpus)) == 0
+
+
+def test_nested_output_preserves_empty_docs(spark, corpus):
+    docs = nest_corpus(corpus)
+    nested = extract(docs, partitions=8, nested=True)
+    assert nested.count() == N_DOCS
+    n_empty_in = docs.filter(F.size("spans") == 0).count()
+    assert nested.filter(F.size("out_spans") == 0).count() == n_empty_in
+    # out_spans echo input offsets: per doc, offsets are a permutation
+    chk = nested.select(
+        "doc_id",
+        F.size("out_spans").alias("n"),
+        F.size(F.array_distinct("out_spans.offset")).alias("nd"),
+    ).filter(F.col("n") != F.col("nd"))
+    assert chk.count() == 0
+
+
+def test_salted_repartition_isolates_heavy_tail(spark, corpus):
+    from eynollah_spark.pipeline import salted_repartition
+
+    docs = nest_corpus(corpus)
+    rep = salted_repartition(docs, partitions=8, heavy_threshold=400)
+    # partition weights: no partition may hold more than ~half the heavy docs
+    pw = rep.select(F.spark_partition_id().alias("pid"), F.size("spans").alias("n"))
+    heavy = pw.filter(F.col("n") > 400).groupBy("pid").count().collect()
+    n_heavy = sum(r["count"] for r in heavy)
+    if n_heavy >= 4:
+        assert max(r["count"] for r in heavy) <= max(1, n_heavy - 1)
+
+
+def test_manifest_resume(spark, corpus, tmp_path_factory):
+    from eynollah_spark.manifest import completed_parts, run_extraction
+
+    out_dir = str(tmp_path_factory.mktemp("ckpt"))
+    docs = nest_corpus(corpus).cache()
+    s1 = run_extraction(docs, out_dir, n_parts=4, partitions=8, parts_per_batch=2)
+    assert s1["processed"] == 4 and s1["skipped"] == 0
+    assert completed_parts(spark, out_dir) == {0, 1, 2, 3}
+    # resume: nothing left to do
+    s2 = run_extraction(docs, out_dir, n_parts=4, partitions=8)
+    assert s2["processed"] == 0 and s2["skipped"] == 4
+    # output complete & correct despite two separate write batches
+    got = spark.read.parquet(f"{out_dir}/out")
+    assert _mismatches(got.drop("part"), expected_spark(corpus)) == 0
+    docs.unpersist()
+    shutil.rmtree(out_dir, ignore_errors=True)
