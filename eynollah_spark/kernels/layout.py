@@ -522,14 +522,26 @@ def order_lines_in_region(cx, cy, rtl):
 def layout_document(doc: DocSpans):
     """Full per-document pipeline; returns (perm, out_kind) where perm is
     the index permutation of doc spans in final reading order and
-    out_kind the (possibly refined) kind per *output* position.
+    out_kind the (possibly refined) kind per *output* position."""
+    perm, marg_mask = layout_permutation(doc)
+    out_kind = doc.kind[perm].copy() if len(perm) else np.array([], dtype=object)
+    out_kind[marg_mask] = KIND_MARGINALIA
+    return perm, out_kind
+
+
+def layout_permutation(doc: DocSpans):
+    """Core per-document pipeline; returns (perm, marg_mask) where perm is
+    the index permutation of doc spans in final reading order and
+    marg_mask flags output positions whose kind refines to 'marginalia'.
+    (`doc.text` / `doc.media_ref` are never read — the kernel is pure
+    geometry, so callers may pass placeholders.)
 
     Serialization order per D8 (utils/xml.py:49-66, writer.py:184-290):
     marg-L -> ordered text -> marg-R -> images -> separators -> tables.
     """
     n = doc.n
     if n == 0:
-        return np.array([], dtype=np.int64), np.array([], dtype=object)
+        return np.array([], dtype=np.int64), np.array([], dtype=bool)
     kind = doc.kind
     x0, x1, y0, y1 = (np.asarray(a, dtype=float) for a in (doc.x0, doc.x1, doc.y0, doc.y1))
     cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
@@ -601,11 +613,9 @@ def layout_document(doc: DocSpans):
             _by_pos(np.flatnonzero(is_tab)),
         ]
     ).astype(np.int64)
-    out_kind = np.array(
-        [KIND_MARGINALIA if i in set(marg_ix.tolist()) else kind[i] for i in perm],
-        dtype=object,
-    )
-    return perm, out_kind
+    marg_mask = np.zeros(n, dtype=bool)
+    marg_mask[marg_ix] = True
+    return perm, marg_mask[perm]
 
 
 def _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, rtl):

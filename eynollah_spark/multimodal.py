@@ -1,0 +1,117 @@
+"""Multimodal columns: media as opaque binary + typed metadata.
+
+Media pixels never enter the layout engine (media travel by `media_ref`,
+SURVEY.md §1.1); this module is the training-data-pipeline side: decode /
+feature-extract / resize / frame-sample over binary payload columns as
+Arrow-batched mapInPandas kernels. The image/audio codec libraries are
+not in this container, so the codec call itself is stubbed behind
+`EYNOLLAH_SPARK_FAKE_DECODE` (deterministic fake) /
+NotImplementedError — but the Spark-side plumbing (schema, batch shape,
+partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("kind", T.StringType()),           # image | audio | video
+    T.StructField("payload", T.BinaryType()),         # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])),
+])
+
+DECODED_SCHEMA = (
+    "media_ref string, width int, height int, channels int, "
+    "mean_luma double, embedding array<float>"
+)
+
+EMB_DIM = 32
+
+
+def _fake_decode(payload: bytes):
+    """Deterministic stand-in for cv2.imdecode: stats + embedding derived
+    from a hash of the bytes (stable across runs/executors)."""
+    h = hashlib.sha256(payload or b"").digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    w = 32 + int.from_bytes(h[8:10], "little") % 2016
+    ht = 32 + int.from_bytes(h[10:12], "little") % 2016
+    emb = rng.standard_normal(EMB_DIM).astype(np.float32)
+    emb /= np.linalg.norm(emb) + 1e-9
+    return w, ht, 3, float(int.from_bytes(h[12:14], "little") % 256), emb
+
+
+def decode_and_embed(media: DataFrame) -> DataFrame:
+    """payload -> (dims, luma, unit-norm embedding), Arrow-batched.
+
+    Real deployment swaps `_fake_decode` for cv2/PIL decode + a
+    broadcast vision encoder; the batch shape and output schema stay
+    identical.
+    """
+    fake = os.environ.get("EYNOLLAH_SPARK_FAKE_DECODE", "1") == "1"
+
+    def kernel(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real codec path requires cv2/PIL (absent in container); "
+                    "set EYNOLLAH_SPARK_FAKE_DECODE=1")
+            rows = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"].to_numpy(),
+                "width": np.array([r[0] for r in rows], dtype=np.int32),
+                "height": np.array([r[1] for r in rows], dtype=np.int32),
+                "channels": np.array([r[2] for r in rows], dtype=np.int32),
+                "mean_luma": np.array([r[3] for r in rows], dtype=np.float64),
+                "embedding": [r[4] for r in rows],
+            })
+
+    from eynollah_spark.packaging import ensure_distributed
+
+    ensure_distributed(media.sparkSession)
+    # media payloads are the skew driver: repartition by ref hash first
+    p = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return media.repartition(p, F.xxhash64("media_ref")).mapInPandas(
+        kernel, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_ref, frame_ts) —
+    pure relational explode of the sampling grid; the decode of each
+    frame goes through decode_and_embed."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_ref",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+            F.lit(every_ms),
+        )).alias("frame_ts_ms"),
+    )
+
+
+def synth_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic fixture media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((
+            f"media://fixture/{i}", kind, bytearray(payload),
+            {"format": "raw", "width": 64, "height": 64,
+             "duration_ms": 4000 if kind == "video" else 0},
+        ))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,45 @@
+"""Packaging: ship the eynollah_spark package to executor python workers.
+
+The north rule's launch path is `spark-submit --py-files pkg.zip`; when
+the session was created by someone else (the verification driver), we
+self-heal by zipping the package and calling addPyFile — equivalent
+semantics, works in local and cluster mode.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_PKG_DIR)
+_shipped: set[int] = set()
+
+
+def build_zip(cache_dir: str | None = None) -> str:
+    cache_dir = cache_dir or os.path.join(_REPO, ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, "eynollah_spark.zip")
+    with zipfile.ZipFile(path, "w") as z:
+        for root, _, files in os.walk(_PKG_DIR):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    return path
+
+
+def ensure_distributed(spark: SparkSession) -> None:
+    """Make the package importable on executor python workers (idempotent
+    per SparkContext)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _shipped:
+        return
+    try:
+        sc.addPyFile(build_zip())
+    except Exception:
+        pass  # already added under the same name — fine
+    _shipped.add(key)

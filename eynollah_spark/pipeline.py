@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from eynollah_spark.kernels.layout import DocSpans, layout_document
+from eynollah_spark.kernels.layout import DocSpans, layout_document, layout_permutation
 from eynollah_spark.schemas import FLAT_OUT_SCHEMA, OUT_SCHEMA
 
 HEAVY_QUANTILE = 0.99
@@ -73,78 +73,225 @@ def flatten(df: DataFrame) -> DataFrame:
     )
 
 
-def _doc_arrays(chunk: pd.DataFrame) -> DocSpans | None:
-    """Build kernel input from one doc's flat rows (None for empty docs)."""
-    valid = pd.notna(chunk["kind"]).to_numpy()
-    if not valid.any():
-        return None
-    c = chunk.loc[valid]
+_KERNEL_COLS = ("doc_id", "kind", "text", "media_ref", "offset",
+                "x0", "x1", "y0", "y1", "width", "height", "rtl")
+
+
+def _batch_cols(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+    """One column->numpy extraction per Arrow batch (the per-doc loop then
+    slices views — no pandas in the hot path)."""
+    out = {}
+    for c in ("doc_id", "kind", "text", "media_ref"):
+        out[c] = pdf[c].to_numpy(dtype=object)
+    for c in ("offset", "x0", "x1", "y0", "y1", "width", "height"):
+        out[c] = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+    out["rtl"] = pdf["rtl"].to_numpy()
+    out["_valid"] = pdf["kind"].notna().to_numpy()
+    return out
+
+
+def _doc_spans(cols, s: int, e: int) -> DocSpans | None:
+    valid = cols["_valid"][s:e]
+    if not valid.all():
+        if not valid.any():
+            return None
+        sl = np.flatnonzero(valid) + s
+    else:
+        sl = slice(s, e)
     return DocSpans(
-        kind=c["kind"].to_numpy(dtype=object),
-        text=c["text"].to_numpy(dtype=object),
-        media_ref=c["media_ref"].to_numpy(dtype=object),
-        offset=c["offset"].to_numpy(dtype=np.int64),
-        x0=c["x0"].to_numpy(dtype=np.float64),
-        x1=c["x1"].to_numpy(dtype=np.float64),
-        y0=c["y0"].to_numpy(dtype=np.float64),
-        y1=c["y1"].to_numpy(dtype=np.float64),
-        width=int(c["width"].iloc[0]),
-        height=int(c["height"].iloc[0]),
-        rtl=bool(c["rtl"].iloc[0]),
+        kind=cols["kind"][sl], text=cols["text"][sl], media_ref=cols["media_ref"][sl],
+        offset=cols["offset"][sl].astype(np.int64),
+        x0=cols["x0"][sl], x1=cols["x1"][sl], y0=cols["y0"][sl], y1=cols["y1"][sl],
+        width=int(cols["width"][s]), height=int(cols["height"][s]),
+        rtl=bool(cols["rtl"][s]),
     )
 
 
-def _emit_flat(doc_id: str, d: DocSpans | None):
-    if d is None:
-        return pd.DataFrame(columns=["doc_id", "ord", "kind", "text", "media_ref", "offset"])
-    perm, out_kind = layout_document(d)
-    return pd.DataFrame({
-        "doc_id": doc_id,
-        "ord": np.arange(len(perm), dtype=np.int32),
-        "kind": out_kind,
-        "text": d.text[perm],
-        "media_ref": d.media_ref[perm],
-        "offset": d.offset[perm].astype(np.int32),
-    })
-
-
-def _emit_nested(doc_id: str, d: DocSpans | None):
-    if d is None:
-        return pd.DataFrame({"doc_id": [doc_id], "out_spans": [[]]})
-    perm, out_kind = layout_document(d)
-    spans = [
-        {"kind": out_kind[p], "text": d.text[i], "media_ref": d.media_ref[i],
-         "offset": int(d.offset[i])}
-        for p, i in enumerate(perm)
-    ]
-    return pd.DataFrame({"doc_id": [doc_id], "out_spans": [spans]})
-
-
 def make_kernel(nested: bool):
-    emit = _emit_nested if nested else _emit_flat
+    """Arrow-batch kernel: processes contiguous doc runs, carries the
+    incomplete tail run to the next batch, emits ONE output frame per
+    batch (never per doc)."""
+
+    def _process(pdf: pd.DataFrame, acc_flat, acc_nested):
+        cols = _batch_cols(pdf)
+        ids = cols["doc_id"]
+        change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        for k in range(len(starts)):
+            s = starts[k]
+            e = starts[k + 1] if k + 1 < len(starts) else len(ids)
+            d = _doc_spans(cols, s, e)
+            if d is None:
+                if nested:
+                    acc_nested.append((ids[s], []))
+                continue
+            perm, out_kind = layout_document(d)
+            if nested:
+                acc_nested.append((ids[s], [
+                    {"kind": out_kind[p], "text": d.text[i],
+                     "media_ref": d.media_ref[i], "offset": int(d.offset[i])}
+                    for p, i in enumerate(perm)
+                ]))
+            else:
+                n = len(perm)
+                acc_flat.append((
+                    np.full(n, ids[s], dtype=object),
+                    np.arange(n, dtype=np.int32), out_kind,
+                    d.text[perm], d.media_ref[perm],
+                    d.offset[perm].astype(np.int32),
+                ))
+
+    def _flush(acc_flat, acc_nested):
+        if nested:
+            if not acc_nested:
+                return None
+            df = pd.DataFrame({
+                "doc_id": [a[0] for a in acc_nested],
+                "out_spans": [a[1] for a in acc_nested],
+            })
+            acc_nested.clear()
+            return df
+        if not acc_flat:
+            return None
+        df = pd.DataFrame({
+            "doc_id": np.concatenate([a[0] for a in acc_flat]),
+            "ord": np.concatenate([a[1] for a in acc_flat]),
+            "kind": np.concatenate([a[2] for a in acc_flat]),
+            "text": np.concatenate([a[3] for a in acc_flat]),
+            "media_ref": np.concatenate([a[4] for a in acc_flat]),
+            "offset": np.concatenate([a[5] for a in acc_flat]),
+        })
+        acc_flat.clear()
+        return df
 
     def kernel(iterator):
         carry: pd.DataFrame | None = None
+        acc_flat: list = []
+        acc_nested: list = []
         for pdf in iterator:
-            if carry is not None:
+            if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
+            carry = None
             if len(pdf) == 0:
                 continue
-            ids = pdf["doc_id"].to_numpy()
-            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(ids)]))
-            # hold back the final run — it may continue in the next batch
-            carry = pdf.iloc[starts[-1]:].copy()
-            outs = []
-            for s, e in zip(starts[:-1], ends[:-1]):
-                chunk = pdf.iloc[s:e]
-                outs.append(emit(ids[s], _doc_arrays(chunk)))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            ids = pdf["doc_id"].to_numpy(dtype=object)
+            neq_last = ids != ids[-1]
+            if neq_last.any():
+                # rows of the final doc run = trailing rows equal to ids[-1]
+                trailing = int(neq_last[::-1].argmax())
+                first_of_last = len(ids) - trailing
+            else:
+                first_of_last = 0  # whole batch is one doc: carry it all
+            carry = pdf.iloc[first_of_last:]
+            head = pdf.iloc[:first_of_last]
+            if len(head):
+                _process(head, acc_flat, acc_nested)
+                out = _flush(acc_flat, acc_nested)
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
-            yield emit(carry["doc_id"].iloc[0], _doc_arrays(carry))
+            _process(carry, acc_flat, acc_nested)
+            out = _flush(acc_flat, acc_nested)
+            if out is not None:
+                yield out
+
+    return kernel
+
+
+def make_arrow_kernel():
+    """Arrow-native flat-output kernel (the 100TB hot path).
+
+    mapInArrow instead of mapInPandas: numeric columns reach numpy
+    zero-copy, doc/kind ids become dictionary codes, and the text /
+    media_ref payload strings are NEVER materialized as Python objects —
+    the kernel computes a permutation and the output columns are built
+    with C++ pc.take / pc.if_else. This is what keeps throughput
+    kernel-bound instead of serialization-bound.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names_out = ["doc_id", "ord", "kind", "text", "media_ref", "offset"]
+
+    def _concat(a: "pa.RecordBatch", b: "pa.RecordBatch") -> "pa.RecordBatch":
+        t = pa.Table.from_batches([a, b]).combine_chunks()
+        batches = t.to_batches()
+        return batches[0] if len(batches) == 1 else pa.Table.from_batches(batches).combine_chunks().to_batches()[0]
+
+    def _np(col, fill=0, dtype=np.float64):
+        return pc.fill_null(col, fill).to_numpy(zero_copy_only=False).astype(dtype)
+
+    def _process(batch, out):
+        n = batch.num_rows
+        if n == 0:
+            return
+        col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        id_codes = pc.dictionary_encode(col["doc_id"]).indices.to_numpy(zero_copy_only=False)
+        kd = pc.dictionary_encode(col["kind"])
+        kind_vals = np.asarray(kd.dictionary.to_pylist() or [""], dtype=object)
+        kcodes = _np(kd.indices, 0, np.int64)
+        kind_obj = kind_vals[np.clip(kcodes, 0, len(kind_vals) - 1)]
+        valid = pc.is_valid(col["kind"]).to_numpy(zero_copy_only=False)
+        offs = _np(col["offset"], -1, np.int64)
+        x0 = _np(col["x0"]); x1 = _np(col["x1"]); y0 = _np(col["y0"]); y1 = _np(col["y1"])
+        W = _np(col["width"], 1, np.int64)
+        H = _np(col["height"], 1, np.int64)
+        RT = _np(col["rtl"], False, np.bool_)
+        change = np.flatnonzero(id_codes[1:] != id_codes[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        take_l, ord_l, marg_l = [], [], []
+        for s, e in zip(starts, ends):
+            v = valid[s:e]
+            if not v.any():
+                continue  # empty document: no flat output rows
+            idx = np.arange(s, e) if v.all() else s + np.flatnonzero(v)
+            d = DocSpans(
+                kind=kind_obj[idx], text=None, media_ref=None,
+                offset=offs[idx], x0=x0[idx], x1=x1[idx], y0=y0[idx], y1=y1[idx],
+                width=int(W[s]), height=int(H[s]), rtl=bool(RT[s]),
+            )
+            perm, marg = layout_permutation(d)
+            take_l.append(idx[perm])
+            ord_l.append(np.arange(len(perm), dtype=np.int32))
+            marg_l.append(marg)
+        if not take_l:
+            return
+        take = pa.array(np.concatenate(take_l), type=pa.int64())
+        marg = pa.array(np.concatenate(marg_l))
+        out.append(pa.RecordBatch.from_arrays([
+            pc.take(col["doc_id"], take),
+            pa.array(np.concatenate(ord_l), type=pa.int32()),
+            pc.if_else(marg, pa.scalar("marginalia"),
+                       pc.cast(pc.take(col["kind"], take), pa.string())),
+            pc.take(col["text"], take),
+            pc.take(col["media_ref"], take),
+            pc.cast(pc.take(col["offset"], take), pa.int32()),
+        ], names=names_out))
+
+    def kernel(batches):
+        carry = None
+        for batch in batches:
+            if carry is not None and carry.num_rows:
+                batch = _concat(carry, batch)
+            carry = None
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = pc.dictionary_encode(batch.column(0)).indices.to_numpy(zero_copy_only=False)
+            neq_last = ids != ids[-1]
+            if not neq_last.any():
+                carry = batch  # whole batch is one doc: keep accumulating
+                continue
+            first_of_last = n - int(neq_last[::-1].argmax())
+            carry = batch.slice(first_of_last)
+            out: list = []
+            _process(batch.slice(0, first_of_last), out)
+            yield from out
+        if carry is not None and carry.num_rows:
+            out = []
+            _process(carry, out)
+            yield from out
 
     return kernel
 
@@ -157,13 +304,17 @@ def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
     ``nested=False`` returns the flat sink shape (doc_id, ord, kind,
     text, media_ref, offset) — preferable at scale.
     """
+    from eynollah_spark.packaging import ensure_distributed
+
     spark = df.sparkSession
+    ensure_distributed(spark)
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     df = salted_repartition(df, partitions, heavy_threshold=heavy_threshold)
-    flat = flatten(df).sortWithinPartitions("doc_id", "offset")
-    schema = OUT_SCHEMA if nested else FLAT_OUT_SCHEMA
-    return flat.mapInPandas(make_kernel(nested), schema=schema)
+    flat = flatten(df).sortWithinPartitions("doc_id")  # contiguity only; kernel is order-invariant within a doc
+    if nested:
+        return flat.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
+    return flat.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)
 
 
 def extract_flat_input(flat: DataFrame, partitions: int | None = None,
@@ -171,10 +322,16 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
     """Same pipeline for already-flat span rows (doc_id, width, height,
     rtl, kind, text, media_ref, offset, x0..y1) — used when the corpus is
     generated distributed, skipping the nest/flatten round-trip."""
+    from eynollah_spark.packaging import ensure_distributed
+
     spark = flat.sparkSession
+    ensure_distributed(spark)
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    flat = flat.select("doc_id", "width", "height", "rtl", "kind", "text",
+                       "media_ref", "offset", "x0", "x1", "y0", "y1")
     flat = flat.repartition(partitions, F.xxhash64("doc_id"))
-    flat = flat.sortWithinPartitions("doc_id", "offset")
-    schema = OUT_SCHEMA if nested else FLAT_OUT_SCHEMA
-    return flat.mapInPandas(make_kernel(nested), schema=schema)
+    flat = flat.sortWithinPartitions("doc_id")
+    if nested:
+        return flat.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
+    return flat.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)

@@ -1,0 +1,72 @@
+"""Scorer plug-in + multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_heuristic_scorer_flags_wide_short_lines():
+    from eynollah_spark.scorer import HeuristicScorer
+
+    pdf = pd.DataFrame({
+        "kind": ["text", "text", "image"],
+        "x0": [100, 100, 0], "x1": [900, 300, 50],
+        "y0": [50, 200, 0], "y1": [80, 600, 50],
+        "width": [1000, 1000, 1000], "height": [2000, 2000, 2000],
+    })
+    s = HeuristicScorer().score_batch(pdf)
+    assert s["p_heading"].iloc[0] > 0.5      # wide short line
+    assert s["p_heading"].iloc[1] < 0.5      # tall block
+    assert s["p_text"].iloc[2] == 0.0        # not text
+
+
+def test_refine_kinds_roundtrip(spark):
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.scorer import refine_kinds
+
+    flat = corpus_flat_spark(spark, 60).drop("expected_kind", "expected_rank")
+    refined = refine_kinds(flat)
+    assert refined.schema == flat.schema
+    kinds = {r["kind"] for r in refined.select("kind").distinct().collect()}
+    assert "heading" in kinds  # two-col titles qualify
+    # only text rows were touched
+    assert refined.filter(F.col("kind") == "image").count() == \
+        flat.filter(F.col("kind") == "image").count()
+
+
+def test_keras_scorer_is_gated():
+    from eynollah_spark.scorer import KerasScorer
+
+    with pytest.raises(NotImplementedError):
+        KerasScorer().score_batch(pd.DataFrame({"kind": []}))
+
+
+def test_multimodal_decode_embed(spark):
+    from eynollah_spark.multimodal import EMB_DIM, decode_and_embed, synth_media_table
+
+    media = synth_media_table(spark, 48)
+    dec = decode_and_embed(media).cache()
+    assert dec.count() == 48
+    row = dec.first()
+    assert len(row["embedding"]) == EMB_DIM
+    # unit-norm embeddings
+    nrm = dec.select(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x).alias("n2")).agg(F.min("n2"), F.max("n2")).first()
+    assert abs(nrm[0] - 1.0) < 1e-3 and abs(nrm[1] - 1.0) < 1e-3
+    # deterministic across runs
+    a = {r["media_ref"]: r["mean_luma"] for r in dec.collect()}
+    b = {r["media_ref"]: r["mean_luma"] for r in decode_and_embed(media).collect()}
+    assert a == b
+    dec.unpersist()
+
+
+def test_frame_sample_plan(spark):
+    from eynollah_spark.multimodal import frame_sample_plan, synth_media_table
+
+    media = synth_media_table(spark, 30)
+    plan = frame_sample_plan(media, every_ms=1000)
+    n_video = media.filter(F.col("kind") == "video").count()
+    assert plan.count() == n_video * 4  # 4000ms / 1000ms
+    assert plan.groupBy("media_ref").count().filter("count != 4").count() == 0
