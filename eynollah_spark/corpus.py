@@ -280,7 +280,20 @@ def gen_doc(doc_index: int, seed: int = 42):
         _gen_degenerate(b, rng, W, H, (doc_index // 100 + bucket) % 3)
     meta = {"doc_id": f"doc{doc_index:08d}", "width": W, "height": H,
             "rtl": bool(rtl), "num_col_hint": 0, "dpi": 300}
-    return b.finish(), meta
+    arrs = b.finish()
+    # skewed-scan variant (exercises the C6 deskew kernel): rotate all
+    # geometry; reading order is unchanged, the kernel must recover it
+    if bucket < 40 and doc_index % 5 == 3 and len(arrs["kind"]) >= 10:
+        from eynollah_spark.kernels.deskew import rotate_boxes
+
+        theta = float(rng.uniform(1.2, 4.0)) * (1 if doc_index % 2 else -1)
+        x0, x1, y0, y1 = rotate_boxes(
+            arrs["x0"].astype(float), arrs["x1"].astype(float),
+            arrs["y0"].astype(float), arrs["y1"].astype(float),
+            theta, W / 2.0, H / 2.0)
+        for k, v in (("x0", x0), ("x1", x1), ("y0", y0), ("y1", y1)):
+            arrs[k] = np.round(v).astype(np.int64)
+    return arrs, meta
 
 
 def gen_corpus_flat(n_docs: int, seed: int = 42, start: int = 0):

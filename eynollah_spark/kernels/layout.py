@@ -547,6 +547,20 @@ def layout_permutation(doc: DocSpans):
     cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
     W, H = float(doc.width), float(doc.height)
 
+    # --- C6/C8 deskew: estimate page skew from text-line sharpness and
+    # rotate all geometry before any projection work (run_deskew,
+    # eynollah.py:1522-1533; rotation utils/rotate.py:9-13)
+    tmask = kind == KIND_TEXT
+    if tmask.sum() >= 8:
+        from eynollah_spark.kernels.deskew import estimate_skew, rotate_boxes
+
+        ang = estimate_skew(cx[tmask], cy[tmask],
+                            np.maximum(x1[tmask] - x0[tmask], 1.0),
+                            np.maximum(y1[tmask] - y0[tmask], 1.0), W, H)
+        if abs(ang) >= 0.75:
+            x0, x1, y0, y1 = rotate_boxes(x0, x1, y0, y1, ang, W / 2.0, H / 2.0)
+            cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+
     is_text = kind == KIND_TEXT
     is_img = kind == KIND_IMAGE
     is_sep = kind == KIND_SEPARATOR

@@ -311,7 +311,7 @@ def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     df = salted_repartition(df, partitions, heavy_threshold=heavy_threshold)
-    flat = flatten(df).sortWithinPartitions("doc_id")  # contiguity only; kernel is order-invariant within a doc
+    flat = flatten(df).sortWithinPartitions("doc_id", "offset")  # canonical per-doc row order -> bitwise-deterministic output
     if nested:
         return flat.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
     return flat.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)
@@ -331,7 +331,7 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
     flat = flat.select("doc_id", "width", "height", "rtl", "kind", "text",
                        "media_ref", "offset", "x0", "x1", "y0", "y1")
     flat = flat.repartition(partitions, F.xxhash64("doc_id"))
-    flat = flat.sortWithinPartitions("doc_id")
+    flat = flat.sortWithinPartitions("doc_id", "offset")
     if nested:
         return flat.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
     return flat.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)
