@@ -82,6 +82,12 @@ def run_worker(cpus: int, corpus: str, sf_dir: str | None, queries: str, zip_pat
                "--py-files", zip_path, worker] + args
     else:
         cmd = [sys.executable, worker] + args
+    # pin the process tree to `cpus` physical cores so "local[8]" really
+    # means an 8-core machine (JVM + python workers share the budget) —
+    # the honest sandbox proxy for an N-executor cluster
+    if shutil.which("taskset"):
+        total = os.cpu_count() or cpus
+        cmd = ["taskset", "-c", f"0-{min(cpus, total) - 1}"] + cmd
     log(f"worker: {' '.join(cmd[:3])}... cpus={cpus}")
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     for line in p.stdout.splitlines():

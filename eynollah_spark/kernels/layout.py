@@ -120,25 +120,25 @@ def _runs_above(p, thr):
 # ------------------------------------------------------- marginalia (C10) ---
 
 def _find_peaks(y, min_distance):
-    """Plateau-aware local maxima with min-distance suppression and
-    prominences (stand-in for scipy.signal.find_peaks as used at
-    utils/marginals.py:74-78)."""
+    """Plateau-aware local maxima with min-distance suppression
+    (stand-in for scipy.signal.find_peaks as used at
+    utils/marginals.py:74-78). Vectorized via run-length encoding."""
     n = len(y)
-    peaks = []
-    i = 1
-    while i < n - 1:
-        if y[i] > y[i - 1]:
-            j = i
-            while j + 1 < n and y[j + 1] == y[i]:
-                j += 1
-            if j + 1 < n and y[j + 1] < y[i]:
-                peaks.append((i + j) // 2)
-            i = j + 1
-        else:
-            i += 1
-    if not peaks:
-        return np.array([], dtype=np.int64), np.array([])
-    peaks = np.array(peaks, dtype=np.int64)
+    if n < 3:
+        return np.array([], dtype=np.int64)
+    # RLE of equal-value runs
+    change = np.flatnonzero(np.diff(y) != 0) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    vals = y[starts]
+    k = len(vals)
+    if k < 3:
+        return np.array([], dtype=np.int64)
+    is_max = np.zeros(k, dtype=bool)
+    is_max[1:-1] = (vals[1:-1] > vals[:-2]) & (vals[1:-1] > vals[2:])
+    peaks = ((starts[is_max] + ends[is_max] - 1) // 2).astype(np.int64)
+    if len(peaks) == 0:
+        return peaks
     # min-distance suppression, keeping higher peaks (scipy semantics)
     order = np.argsort(-y[peaks], kind="stable")
     keep = np.ones(len(peaks), dtype=bool)
@@ -151,7 +151,14 @@ def _find_peaks(y, min_distance):
         keep[oi] = True
     peaks = peaks[keep]
     peaks.sort()
-    # prominences
+    return peaks
+
+
+def _prominences(y, peaks):
+    """Prominence per peak (walk until a higher value on each side; min
+    along the way is the base) — only invoked for the few qualifying
+    valley candidates, so the per-peak walk is cheap."""
+    n = len(y)
     prom = np.empty(len(peaks))
     for k, p in enumerate(peaks):
         lv = y[p]
@@ -166,7 +173,7 @@ def _find_peaks(y, min_distance):
             rmin = min(rmin, y[i])
             i += 1
         prom[k] = lv - max(lmin, rmin)
-    return peaks, prom
+    return prom
 
 
 def split_main_and_marginal(x0, x1, y0, y1, width, height, num_col):
@@ -212,12 +219,12 @@ def split_main_and_marginal(x0, x1, y0, y1, width, height, num_col):
     third_l = (mid - first_nz) / 3.0
     third_r = (last_nz - mid) / 3.0
     rev = mx - p
-    peaks, prom = _find_peaks(rev, max(2, int(30 * scale)))
+    peaks = _find_peaks(rev, max(2, int(30 * scale)))
     if len(peaks) == 0:
         return marg, 0.0, float(width)
-    scores = prom * rev[peaks]
     ok = (peaks > first_nz) & (peaks < last_nz) & (p[peaks] < min_thick)
-    peaks, scores = peaks[ok], scores[ok]
+    peaks = peaks[ok]
+    scores = _prominences(rev, peaks) * rev[peaks]
     if num_col == 1:
         left = peaks < mid
         right = peaks > mid
@@ -460,29 +467,34 @@ def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
             a = parent[a]
         return a
 
-    order = np.argsort(y0, kind="stable")
     h = np.maximum(y1 - y0, 1.0)
     w = np.maximum(x1 - x0, 1.0)
     anchor = x1 if rtl else x0
     max_gap = _REGION_GAP_FACTOR * h.max() + 4
-    for a in range(n):
-        i = order[a]  # i is above (or level with) j
-        for b in range(a + 1, n):
-            j = order[b]
-            dy = y0[j] - y1[i]
-            if dy > max_gap:
-                break
-            if band[i] != band[j]:
-                continue
-            if max(dy, 0.0) > _REGION_GAP_FACTOR * min(h[i], h[j]) + 4:
-                continue
-            ov = min(x1[i], x1[j]) - max(x0[i], x0[j])
-            if ov / min(w[i], w[j]) < _REGION_XOVERLAP:
-                continue
-            if abs(anchor[i] - anchor[j]) <= 1.2 * max(h[i], h[j]):
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[rj] = ri
+
+    # vectorized candidate-pair enumeration: sort by y0; for each line i,
+    # candidates j follow it with y0[j] <= y1[i] + max_gap (bounded
+    # lookahead, near-linear for real layouts)
+    order = np.argsort(y0, kind="stable")
+    sy0, sy1 = y0[order], y1[order]
+    hi = np.searchsorted(sy0, sy1 + max_gap, side="right")
+    cnt = np.maximum(hi - np.arange(1, n + 1), 0)
+    total = int(cnt.sum())
+    if total:
+        ii = np.repeat(np.arange(n), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        jj = np.arange(total) - np.repeat(offs, cnt) + ii + 1
+        i, j = order[ii], order[jj]
+        dy = np.maximum(y0[j] - y1[i], 0.0)
+        okp = (band[i] == band[j])
+        okp &= dy <= _REGION_GAP_FACTOR * np.minimum(h[i], h[j]) + 4
+        ov = np.minimum(x1[i], x1[j]) - np.maximum(x0[i], x0[j])
+        okp &= ov / np.minimum(w[i], w[j]) >= _REGION_XOVERLAP
+        okp &= np.abs(anchor[i] - anchor[j]) <= 1.2 * np.maximum(h[i], h[j])
+        for a, b in zip(i[okp], j[okp]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
     return np.array([find(i) for i in range(n)])
 
 
