@@ -24,7 +24,6 @@ import shutil
 import subprocess
 import sys
 import time
-import zipfile
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".cache")
@@ -38,16 +37,9 @@ def log(msg):
 
 
 def build_zip() -> str:
-    path = os.path.join(CACHE, "eynollah_spark.zip")
-    os.makedirs(CACHE, exist_ok=True)
-    with zipfile.ZipFile(path, "w") as z:
-        pkg = os.path.join(REPO, "eynollah_spark")
-        for root, _, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, REPO))
-    return path
+    from eynollah_spark.packaging import build_zip as _bz
+
+    return _bz(CACHE)
 
 
 def ensure_corpus(n_docs: int) -> str:
@@ -79,6 +71,7 @@ def run_worker(cpus: int, corpus: str, sf_dir: str | None, queries: str, zip_pat
     env = dict(os.environ, PYTHONPATH=REPO)
     if spark_submit:
         cmd = [spark_submit, "--master", f"local[{cpus}]",
+               "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
                "--py-files", zip_path, worker] + args
     else:
         cmd = [sys.executable, worker] + args

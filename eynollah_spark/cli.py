@@ -1,0 +1,82 @@
+"""CLI parity with the reference's entry points (SURVEY.md §2 F-ops).
+
+  layout        F1 `eynollah layout`   — full extraction with per-partition
+                checkpointing + resume (manifest.run_extraction)
+  extract-images F6 `eynollah-extract-images` — B17 image-only projection
+  machine-ro    F5 `eynollah machine-based-reading-order` — B14 pairwise path
+  gen-corpus    fixture/bench corpus materialization
+
+Launch: spark-submit --py-files .cache/eynollah_spark.zip -m ... or
+`python -m eynollah_spark.cli <cmd>`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="eynollah_spark")
+    ap.add_argument("--cpus", type=int, default=8)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("layout", help="extract reading-ordered spans (resumable)")
+    p.add_argument("--input", required=True, help="nested documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--n-parts", type=int, default=8)
+
+    p = sub.add_parser("extract-images", help="B17: image spans only")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+
+    p = sub.add_parser("machine-ro", help="B14: pairwise-model reading order")
+    p.add_argument("--input", required=True, help="flat span parquet")
+    p.add_argument("--output", required=True)
+
+    p = sub.add_parser("gen-corpus", help="materialize the synthetic corpus")
+    p.add_argument("--n-docs", type=int, required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--nested", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.session import build_session
+
+    spark = build_session(app=f"cli_{args.cmd}", cpus=args.cpus)
+    try:
+        if args.cmd == "layout":
+            from eynollah_spark.manifest import run_extraction
+
+            docs = spark.read.parquet(args.input)
+            summary = run_extraction(docs, args.output, n_parts=args.n_parts)
+            print(json.dumps(summary))
+        elif args.cmd == "extract-images":
+            docs = spark.read.parquet(args.input)
+            (docs.select(
+                "doc_id", F.explode(F.expr("filter(spans, s -> s.kind = 'image')")).alias("s"))
+             .select("doc_id", "s.media_ref", "s.offset")
+             .write.mode("overwrite").parquet(args.output))
+            print(json.dumps({"ok": True, "output": args.output}))
+        elif args.cmd == "machine-ro":
+            from eynollah_spark.mb_reading_order import machine_reading_order
+
+            flat = spark.read.parquet(args.input)
+            machine_reading_order(flat).write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"ok": True, "output": args.output}))
+        elif args.cmd == "gen-corpus":
+            from eynollah_spark.corpus import corpus_flat_spark, nest_corpus
+
+            flat = corpus_flat_spark(spark, args.n_docs)
+            out = nest_corpus(flat) if args.nested else flat
+            out.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"ok": True, "n_docs": args.n_docs, "output": args.output}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,27 +19,37 @@ _shipped: set[int] = set()
 
 
 def build_zip(cache_dir: str | None = None) -> str:
+    """Build the --py-files zip atomically (tmp + rename): concurrent
+    Spark jobs may be reading the previous zip while we rebuild."""
     cache_dir = cache_dir or os.path.join(_REPO, ".cache")
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, "eynollah_spark.zip")
-    with zipfile.ZipFile(path, "w") as z:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w") as z:
         for root, _, files in os.walk(_PKG_DIR):
-            for f in files:
+            for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, _REPO))
+    os.replace(tmp, path)
     return path
 
 
 def ensure_distributed(spark: SparkSession) -> None:
     """Make the package importable on executor python workers (idempotent
-    per SparkContext)."""
+    per SparkContext; no-op when the zip was already shipped, e.g. via
+    spark-submit --py-files)."""
     sc = spark.sparkContext
     key = id(sc)
     if key in _shipped:
         return
     try:
-        sc.addPyFile(build_zip())
+        already = any("eynollah_spark.zip" in f for f in sc.listFiles)
     except Exception:
-        pass  # already added under the same name — fine
+        already = False
+    if not already:
+        try:
+            sc.addPyFile(build_zip())
+        except Exception:
+            pass  # already added under the same name — fine
     _shipped.add(key)

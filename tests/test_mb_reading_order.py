@@ -1,0 +1,53 @@
+"""B14 machine-based reading order: the pairwise partition loop + the
+heuristic pair scorer must reproduce reading order on simple layouts
+(the reference's own machine-RO test asserts an exact sequence on the
+single-column kant page, tests/cli_tests/test_mbreorder.py:29)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eynollah_spark.mb_reading_order import (
+    HeuristicPairScorer,
+    machine_reading_order,
+    order_regions_pairwise,
+)
+
+
+def test_partition_loop_orders_rows():
+    # 5 regions stacked vertically, shuffled input -> top-down order
+    cy = np.array([500.0, 100.0, 900.0, 300.0, 700.0])
+    geom = np.stack([np.full(5, 400.0), cy, np.full(5, 600.0), np.full(5, 80.0)], axis=1)
+    order = order_regions_pairwise(geom)
+    assert cy[order].tolist() == sorted(cy.tolist())
+
+
+def test_partition_loop_row_major_two_columns():
+    # two side-by-side regions then one below: L, R, bottom
+    geom = np.array([
+        [800.0, 100.0, 300.0, 80.0],   # right, top row
+        [200.0, 110.0, 300.0, 80.0],   # left, top row
+        [500.0, 400.0, 900.0, 80.0],   # full-width below
+    ])
+    order = order_regions_pairwise(geom)
+    assert order == [1, 0, 2]
+
+
+def test_machine_ro_matches_oracle_on_single_column(spark):
+    from eynollah_spark.corpus import corpus_flat_spark, expected_spark
+
+    # single-column letters only (bucket < 40, unskewed): machine RO must
+    # equal the XY-cut expected order on text spans
+    flat = corpus_flat_spark(spark, 40, partitions=4).filter(
+        (F.col("doc_id").substr(-2, 2).cast("int") % 100 < 40)
+        & (F.col("doc_id").substr(-2, 2).cast("int") % 5 != 3)
+    ).cache()
+    got = machine_reading_order(flat)
+    exp = (expected_spark(flat).filter(F.col("kind") == "text")
+           .withColumn("ord2", F.row_number().over(
+               __import__("pyspark.sql.window", fromlist=["Window"]).Window
+               .partitionBy("doc_id").orderBy("ord")) - 1)
+           .select("doc_id", F.col("ord2").alias("ord"), "offset"))
+    diff = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+    flat.unpersist()
+    assert diff == 0
