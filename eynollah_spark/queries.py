@@ -576,6 +576,39 @@ def _extract_basic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _fn("extract_basic_mode", (), _extract_basic_mode)
 
+def _extract_machine_ro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 pairwise-model reading order (optional ML path) over the corpus."""
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.mb_reading_order import machine_reading_order
+
+    n = max(100, int(20_000 * sf_of(sf_dir)))
+    return machine_reading_order(
+        corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank"))
+
+_fn("extract_machine_reading_order", (), _extract_machine_ro)
+
+def _extract_refine_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12/B12 heading refinement via the pluggable scorer."""
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.scorer import refine_kinds
+
+    n = max(200, int(50_000 * sf_of(sf_dir)))
+    flat = corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank")
+    return refine_kinds(flat).groupBy("kind").agg(F.count("*").alias("n"))
+
+_fn("extract_refine_headings", (), _extract_refine_headings)
+
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/embed plumbing over the synthetic media table."""
+    from eynollah_spark.multimodal import decode_and_embed, synth_media_table
+
+    n = max(64, int(10_000 * sf_of(sf_dir)))
+    return decode_and_embed(synth_media_table(spark, n)).drop("embedding")
+
+_fn("multimodal_decode_embed", (), _multimodal_decode)
+
 
 # --------------------------------------------------------------------------
 
