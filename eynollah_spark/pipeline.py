@@ -198,7 +198,7 @@ def make_kernel(nested: bool):
     return kernel
 
 
-def make_arrow_kernel():
+def make_arrow_kernel(include_payload: bool = True):
     """Arrow-native flat-output kernel (the 100TB hot path).
 
     mapInArrow instead of mapInPandas: numeric columns reach numpy
@@ -211,7 +211,8 @@ def make_arrow_kernel():
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    names_out = ["doc_id", "ord", "kind", "text", "media_ref", "offset"]
+    names_out = (["doc_id", "ord", "kind", "text", "media_ref", "offset"]
+                 if include_payload else ["doc_id", "ord", "kind", "offset"])
 
     def _concat(a: "pa.RecordBatch", b: "pa.RecordBatch") -> "pa.RecordBatch":
         t = pa.Table.from_batches([a, b]).combine_chunks()
@@ -259,15 +260,16 @@ def make_arrow_kernel():
             return
         take = pa.array(np.concatenate(take_l), type=pa.int64())
         marg = pa.array(np.concatenate(marg_l))
-        out.append(pa.RecordBatch.from_arrays([
+        arrays = [
             pc.take(col["doc_id"], take),
             pa.array(np.concatenate(ord_l), type=pa.int32()),
             pc.if_else(marg, pa.scalar("marginalia"),
                        pc.cast(pc.take(col["kind"], take), pa.string())),
-            pc.take(col["text"], take),
-            pc.take(col["media_ref"], take),
-            pc.cast(pc.take(col["offset"], take), pa.int32()),
-        ], names=names_out))
+        ]
+        if include_payload:
+            arrays += [pc.take(col["text"], take), pc.take(col["media_ref"], take)]
+        arrays.append(pc.cast(pc.take(col["offset"], take), pa.int32()))
+        out.append(pa.RecordBatch.from_arrays(arrays, names=names_out))
 
     def kernel(batches):
         carry = None
@@ -318,20 +320,43 @@ def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
 
 
 def extract_flat_input(flat: DataFrame, partitions: int | None = None,
-                       nested: bool = False) -> DataFrame:
+                       nested: bool = False, strategy: str = "inline") -> DataFrame:
     """Same pipeline for already-flat span rows (doc_id, width, height,
     rtl, kind, text, media_ref, offset, x0..y1) — used when the corpus is
-    generated distributed, skipping the nest/flatten round-trip."""
+    generated distributed, skipping the nest/flatten round-trip.
+
+    strategy='inline': payload strings ride through the kernel stage
+    (permuted C++-side, but they still cross the JVM<->python socket).
+    strategy='join' (permutation join): the kernel sees only the narrow
+    numeric projection and emits (doc_id, ord, kind, offset); the text /
+    media_ref payload joins back JVM-side on (doc_id, offset) and never
+    crosses into Python at all — the wide-payload plan for 100 TB inputs.
+    """
     from eynollah_spark.packaging import ensure_distributed
 
     spark = flat.sparkSession
     ensure_distributed(spark)
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    flat = flat.select("doc_id", "width", "height", "rtl", "kind", "text",
-                       "media_ref", "offset", "x0", "x1", "y0", "y1")
-    flat = flat.repartition(partitions, F.xxhash64("doc_id"))
-    flat = flat.sortWithinPartitions("doc_id", "offset")
     if nested:
-        return flat.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
-    return flat.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)
+        f = flat.select("doc_id", "width", "height", "rtl", "kind", "text",
+                        "media_ref", "offset", "x0", "x1", "y0", "y1")
+        f = f.repartition(partitions, F.xxhash64("doc_id"))
+        f = f.sortWithinPartitions("doc_id", "offset")
+        return f.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
+    if strategy == "join":
+        narrow = flat.select("doc_id", "width", "height", "rtl", "kind",
+                             "offset", "x0", "x1", "y0", "y1")
+        narrow = narrow.repartition(partitions, F.xxhash64("doc_id"))
+        narrow = narrow.sortWithinPartitions("doc_id", "offset")
+        perm = narrow.mapInArrow(
+            make_arrow_kernel(include_payload=False),
+            schema="doc_id string, ord int, kind string, offset int")
+        payload = flat.select("doc_id", "offset", "text", "media_ref")
+        return perm.join(payload, ["doc_id", "offset"], "left").select(
+            "doc_id", "ord", "kind", "text", "media_ref", "offset")
+    f = flat.select("doc_id", "width", "height", "rtl", "kind", "text",
+                    "media_ref", "offset", "x0", "x1", "y0", "y1")
+    f = f.repartition(partitions, F.xxhash64("doc_id"))
+    f = f.sortWithinPartitions("doc_id", "offset")
+    return f.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)

@@ -42,6 +42,13 @@ def test_extract_flat_input_matches(spark, corpus):
     assert _mismatches(out, expected_spark(corpus)) == 0
 
 
+def test_extract_join_strategy_matches(spark, corpus):
+    # permutation-join plan: payload strings never cross into Python
+    out = extract_flat_input(corpus.drop("expected_kind", "expected_rank"),
+                             partitions=8, strategy="join")
+    assert _mismatches(out, expected_spark(corpus)) == 0
+
+
 def test_nested_output_preserves_empty_docs(spark, corpus):
     docs = nest_corpus(corpus)
     nested = extract(docs, partitions=8, nested=True)
