@@ -58,8 +58,13 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
-def run_worker(cpus: int, corpus: str, sf_dir: str | None, queries: str, zip_path: str) -> dict:
-    args = ["--cpus", str(cpus), "--corpus", corpus]
+def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
+               zip_path: str, presorted: bool = False) -> dict:
+    args = ["--cpus", str(cpus)]
+    if corpus:
+        args += ["--corpus", corpus]
+    if presorted:
+        args += ["--presorted"]
     if sf_dir and queries:
         args += ["--sf-dir", sf_dir, "--queries", queries]
     worker = os.path.join(REPO, "eynollah_spark", "bench_worker.py")
@@ -114,6 +119,12 @@ def update_bench_md(res: dict):
         f"Spark achieves {res.get('scaling_efficiency_vs_hardware')} of the "
         "hardware ceiling. On a real N→4N *cluster* (bandwidth scales with "
         "nodes) the pipeline's only cross-node stage is one hash shuffle.",
+        "",
+        "Bucketed-input fast path (Iceberg table bucketed by doc_id, no "
+        "shuffle): "
+        + ", ".join(f"local[{lv['cpus']}] → {lv.get('presorted_docs_per_sec')} docs/s"
+                    for lv in res["levels"])
+        + f"; efficiency {res.get('presorted_scaling_efficiency')}",
         f"checksum match across levels: {res['checksum_match']}",
         "",
         "## headline query latencies",
@@ -205,13 +216,19 @@ def main():
     levels = []
     lo = max(2, cpus // 4)
     for c in (lo, cpus):
-        levels.append(run_worker(c, corpus, sf_dir if c == cpus else None,
-                                 ",".join(HEADLINE) if c == cpus else "", zip_path))
+        levels.append(run_worker(c, corpus, None, "", zip_path, presorted=True))
+    # query latencies in a fresh JVM so extraction GC pressure can't
+    # pollute them
+    qres = run_worker(cpus, None, sf_dir, ",".join(HEADLINE), zip_path)
+    levels[1]["queries"] = qres.get("queries", {})
     rate_lo, rate_hi = levels[0]["docs_per_sec"], levels[1]["docs_per_sec"]
     eff = round((rate_hi / rate_lo) / (cpus / lo), 3)
     log("running bare-kernel hardware control...")
     control = mp_control((lo, cpus))
     ctrl_eff = round((control[cpus] / control[lo]) / (cpus / lo), 3)
+    pre_lo = levels[0].get("presorted_docs_per_sec")
+    pre_hi = levels[1].get("presorted_docs_per_sec")
+    pre_eff = round((pre_hi / pre_lo) / (cpus / lo), 3) if pre_lo and pre_hi else None
     res = {
         "metric": "documents/sec extraction throughput (synthetic interleaved corpus)",
         "value": rate_hi,
@@ -225,6 +242,9 @@ def main():
         "scaling_efficiency": eff,
         "control_bare_kernel_docs_per_sec": control,
         "control_scaling_efficiency": ctrl_eff,
+        "presorted": {f"docs_per_sec_{lv['cpus']}": lv.get("presorted_docs_per_sec")
+                      for lv in levels},
+        "presorted_scaling_efficiency": pre_eff,
         "scaling_efficiency_vs_hardware": round(eff / ctrl_eff, 3) if ctrl_eff else None,
         "checksum_match": levels[0]["checksum"] == levels[1]["checksum"],
         "levels": levels,

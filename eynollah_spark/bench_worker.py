@@ -17,7 +17,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
-    ap.add_argument("--corpus", required=True, help="flat corpus parquet path")
+    ap.add_argument("--corpus", default=None, help="flat corpus parquet path")
+    ap.add_argument("--presorted", action="store_true", help="also time the bucketed-input path")
     ap.add_argument("--sf-dir", default=None, help="run headline queries against this dir")
     ap.add_argument("--queries", default="", help="comma-separated query names")
     args = ap.parse_args()
@@ -31,9 +32,12 @@ def main():
                           shuffle_partitions=max(8, args.cpus))
     result = {"cpus": args.cpus}
 
-    flat = spark.read.parquet(args.corpus)
-    n_docs = flat.select("doc_id").distinct().count()
-    n_spans = flat.count()
+    if not args.corpus:
+        flat = None
+    if args.corpus:
+        flat = spark.read.parquet(args.corpus)
+        n_docs = flat.select("doc_id").distinct().count()
+        n_spans = flat.count()
 
     # warm EVERY python worker (fork + numpy/pandas/kernel import is ~1-2s
     # per worker and must not pollute the steady-state measurement)
@@ -45,27 +49,43 @@ def main():
     spark.range(0, args.cpus * 8, 1, args.cpus * 8).mapInPandas(
         _warm, "id long").count()
 
-    kernel_partitions = args.cpus * 4  # small tasks -> scheduler absorbs doc skew
-    trials = []
-    checksum = rows = None
-    for _ in range(3):
-        t0 = time.time()
-        out = extract_flat_input(flat, partitions=kernel_partitions)
-        row = out.select(
-            F.count("*").alias("rows"),
-            F.expr("bit_xor(xxhash64(doc_id, ord, kind, offset))").alias("checksum"),
-        ).first()
-        trials.append(time.time() - t0)
-        checksum, rows = int(row["checksum"]), row["rows"]
-    wall = min(trials)  # best-of-3: JVM/GC noise on this box is ~2x run-to-run
-    result.update({
-        "n_docs": n_docs, "n_spans": n_spans,
-        "extract_wall_sec": round(wall, 3),
-        "extract_trials_sec": [round(t, 2) for t in trials],
-        "docs_per_sec": round(n_docs / wall, 2),
-        "spans_per_sec": round(n_spans / wall, 1),
-        "out_rows": rows, "checksum": checksum,
-    })
+    if args.corpus:
+        kernel_partitions = args.cpus * 4  # small tasks -> scheduler absorbs skew
+        def run_once(**kw):
+            t0 = time.time()
+            out = extract_flat_input(flat, partitions=kernel_partitions, **kw)
+            row = out.select(
+                F.count("*").alias("rows"),
+                F.expr("bit_xor(xxhash64(doc_id, ord, kind, offset))").alias("checksum"),
+            ).first()
+            return time.time() - t0, int(row["checksum"]), row["rows"]
+
+        trials, checksum, rows = [], None, None
+        for _ in range(3):
+            t, checksum, rows = run_once()
+            trials.append(t)
+        wall = min(trials)  # best-of-3: JVM/GC noise on this box is ~2x run-to-run
+        result.update({
+            "n_docs": n_docs, "n_spans": n_spans,
+            "extract_wall_sec": round(wall, 3),
+            "extract_trials_sec": [round(t, 2) for t in trials],
+            "docs_per_sec": round(n_docs / wall, 2),
+            "spans_per_sec": round(n_spans / wall, 1),
+            "out_rows": rows, "checksum": checksum,
+        })
+        if args.presorted:
+            # bucketed-input fast path: the corpus parquet is already
+            # doc-contiguous (Iceberg bucketed-by-doc_id deployment shape),
+            # so the repartition shuffle is skipped entirely
+            pt = []
+            for _ in range(3):
+                t, ck, _r = run_once(assume_doc_partitioned=True)
+                pt.append(t)
+                assert ck == checksum, "presorted path changed output"
+            result.update({
+                "presorted_wall_sec": round(min(pt), 3),
+                "presorted_docs_per_sec": round(n_docs / min(pt), 2),
+            })
 
     if args.sf_dir and args.queries:
         sys.path.insert(0, "/root/repo")

@@ -7,12 +7,15 @@ Stage plan (explicit shuffle boundaries, SURVEY.md §3.1 lifecycle):
        (north rule: skew from media-heavy docs is defused *before* the
        kernel — AQE skew handling does not apply to UDF stages)
     -> flatten (posexplode, narrow — preserves partitioning)
-    -> sortWithinPartitions(doc_id, offset)  (no shuffle)
-    -> mapInPandas(layout kernel)            (Arrow batches; docs are
-       contiguous runs within a partition; incomplete tail docs carry
-       over between batches, so there is NO per-group pandas overhead
-       the way applyInPandas would impose at 10^12 docs)
-    -> sink (nested or flat rows)
+    -> sortWithinPartitions(doc_id, offset)  (no shuffle; canonical
+       order -> bitwise-deterministic output)
+    -> mapInArrow(layout kernel)             (docs are contiguous runs
+       within a partition; incomplete tail docs carry over between
+       batches — no per-group overhead the way applyInPandas would
+       impose at 10^12 docs; numerics reach numpy zero-copy, payload
+       strings are permuted C++-side and never materialize in Python)
+    -> sink (nested or flat rows; strategy='join' keeps payload out of
+       the kernel stage entirely and joins it back JVM-side)
 
 The kernel itself is eynollah_spark.kernels.layout.layout_document —
 see that module for reference-semantics citations.
@@ -320,7 +323,8 @@ def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
 
 
 def extract_flat_input(flat: DataFrame, partitions: int | None = None,
-                       nested: bool = False, strategy: str = "inline") -> DataFrame:
+                       nested: bool = False, strategy: str = "inline",
+                       assume_doc_partitioned: bool = False) -> DataFrame:
     """Same pipeline for already-flat span rows (doc_id, width, height,
     rtl, kind, text, media_ref, offset, x0..y1) — used when the corpus is
     generated distributed, skipping the nest/flatten round-trip.
@@ -331,6 +335,13 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
     numeric projection and emits (doc_id, ord, kind, offset); the text /
     media_ref payload joins back JVM-side on (doc_id, offset) and never
     crosses into Python at all — the wide-payload plan for 100 TB inputs.
+
+    assume_doc_partitioned: the input is already doc-contiguous per file
+    (an Iceberg table bucketed by doc_id — the recommended deployment
+    shape) -> skip the repartition shuffle entirely. The caller must
+    guarantee one file never splits a document AND files are smaller
+    than spark.sql.files.maxPartitionBytes (otherwise a file split could
+    separate a document's rows).
     """
     from eynollah_spark.packaging import ensure_distributed
 
@@ -357,6 +368,7 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
             "doc_id", "ord", "kind", "text", "media_ref", "offset")
     f = flat.select("doc_id", "width", "height", "rtl", "kind", "text",
                     "media_ref", "offset", "x0", "x1", "y0", "y1")
-    f = f.repartition(partitions, F.xxhash64("doc_id"))
+    if not assume_doc_partitioned:
+        f = f.repartition(partitions, F.xxhash64("doc_id"))
     f = f.sortWithinPartitions("doc_id", "offset")
     return f.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)
