@@ -58,7 +58,7 @@ def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
         batch = todo[i:i + parts_per_batch]
         t0 = time.time()
         sub = docs.filter(F.col("part").isin(batch))
-        out = extract(sub.drop("part"), partitions=partitions, nested=False)
+        out = extract(sub.drop("part"), partitions=partitions, nested=False, fail_fast=False)
         out = out.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
         (out.write.mode("overwrite")
             .partitionBy("part")

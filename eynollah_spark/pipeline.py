@@ -201,7 +201,22 @@ def make_kernel(nested: bool):
     return kernel
 
 
-def make_arrow_kernel(include_payload: bool = True):
+def _safe_permutation(d: DocSpans, fail_fast: bool):
+    """Per-document failure quarantine: at 10^12 docs a single pathological
+    page must not kill the job (the reference's halt_fail global abort,
+    eynollah.py:2023-2028, is replaced by degrade-and-continue). On kernel
+    failure the document falls back to input-offset order (total, kinds
+    unchanged). fail_fast=True (tests/CI) re-raises instead."""
+    try:
+        return layout_permutation(d)
+    except Exception:
+        if fail_fast:
+            raise
+        perm = np.argsort(d.offset, kind="stable").astype(np.int64)
+        return perm, np.zeros(len(perm), dtype=bool)
+
+
+def make_arrow_kernel(include_payload: bool = True, fail_fast: bool = True):
     """Arrow-native flat-output kernel (the 100TB hot path).
 
     mapInArrow instead of mapInPandas: numeric columns reach numpy
@@ -255,7 +270,7 @@ def make_arrow_kernel(include_payload: bool = True):
                 offset=offs[idx], x0=x0[idx], x1=x1[idx], y0=y0[idx], y1=y1[idx],
                 width=int(W[s]), height=int(H[s]), rtl=bool(RT[s]),
             )
-            perm, marg = layout_permutation(d)
+            perm, marg = _safe_permutation(d, fail_fast)
             take_l.append(idx[perm])
             ord_l.append(np.arange(len(perm), dtype=np.int32))
             marg_l.append(marg)
@@ -302,7 +317,7 @@ def make_arrow_kernel(include_payload: bool = True):
 
 
 def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
-            heavy_threshold: int | None = None) -> DataFrame:
+            heavy_threshold: int | None = None, fail_fast: bool = True) -> DataFrame:
     """documents (nested) -> ordered out_spans.
 
     ``nested=True`` returns FIXTURES.md §2 rows (doc_id, out_spans);
@@ -319,12 +334,13 @@ def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
     flat = flatten(df).sortWithinPartitions("doc_id", "offset")  # canonical per-doc row order -> bitwise-deterministic output
     if nested:
         return flat.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
-    return flat.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)
+    return flat.mapInArrow(make_arrow_kernel(fail_fast=fail_fast), schema=FLAT_OUT_SCHEMA)
 
 
 def extract_flat_input(flat: DataFrame, partitions: int | None = None,
                        nested: bool = False, strategy: str = "inline",
-                       assume_doc_partitioned: bool = False) -> DataFrame:
+                       assume_doc_partitioned: bool = False,
+                       fail_fast: bool = True) -> DataFrame:
     """Same pipeline for already-flat span rows (doc_id, width, height,
     rtl, kind, text, media_ref, offset, x0..y1) — used when the corpus is
     generated distributed, skipping the nest/flatten round-trip.
@@ -361,7 +377,7 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
         narrow = narrow.repartition(partitions, F.xxhash64("doc_id"))
         narrow = narrow.sortWithinPartitions("doc_id", "offset")
         perm = narrow.mapInArrow(
-            make_arrow_kernel(include_payload=False),
+            make_arrow_kernel(include_payload=False, fail_fast=fail_fast),
             schema="doc_id string, ord int, kind string, offset int")
         payload = flat.select("doc_id", "offset", "text", "media_ref")
         return perm.join(payload, ["doc_id", "offset"], "left").select(
@@ -371,4 +387,4 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
     if not assume_doc_partitioned:
         f = f.repartition(partitions, F.xxhash64("doc_id"))
     f = f.sortWithinPartitions("doc_id", "offset")
-    return f.mapInArrow(make_arrow_kernel(), schema=FLAT_OUT_SCHEMA)
+    return f.mapInArrow(make_arrow_kernel(fail_fast=fail_fast), schema=FLAT_OUT_SCHEMA)
