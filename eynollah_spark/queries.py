@@ -516,6 +516,49 @@ FROM gaps GROUP BY user_id
 # session windows via lag + running-flag cumsum (the batch equivalent of
 # the streaming sessionizer).
 
+_both("tpch_q6_revenue_delta", ("lineitem",), lambda d: """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+
+_both("tpch_q4_semijoin", ("orders", "lineitem"), lambda d: """
+SELECT o.o_orderpriority, COUNT(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_quantity > 45)
+GROUP BY o.o_orderpriority
+""")
+# EXISTS -> left-semi join (the C17 semi-join shape on TPC-H data).
+
+_both("rollup_region_nation", ("region", "nation", "customer"), lambda d: """
+SELECT COALESCE(r.r_name, 'ALL') AS region, COALESCE(n.n_name, 'ALL') AS nation,
+       COUNT(*) AS n_cust
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""")
+
+_both("string_ops_part_brands", ("part",), lambda d: """
+SELECT upper(p_brand) AS brand,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS brass,
+       MIN(substr(p_name, 1, 6)) AS first_prefix
+FROM part WHERE length(p_name) > 10
+GROUP BY upper(p_brand)
+""")
+
+_both("union_high_value_parties", ("customer", "supplier"), lambda d: """
+SELECT party_id, kind FROM (
+  SELECT c_custkey AS party_id, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT s_suppkey AS party_id, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000
+) t
+""")
+
 _both("events_topk_users", ("events",), lambda d: """
 SELECT user_id, n FROM (
   SELECT user_id, COUNT(*) AS n,
