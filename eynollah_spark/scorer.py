@@ -48,9 +48,19 @@ class HeuristicScorer:
             & (aspect <= self.ASPECT_MAX)
             & (h <= 0.04 * np.maximum(pdf["height"].to_numpy(float), 1.0))
         )
+        # C13 drop-capital rule (utils/__init__.py:743-795 majority/area
+        # rules, symbolically): a tall, narrow text box — letter-shaped,
+        # much taller than the page's typical line
+        drop = (
+            is_text
+            & (h >= 2.2 * np.maximum(np.median(h[is_text]) if is_text.any() else 1.0, 1.0))
+            & (w <= 1.6 * h)
+            & (w <= 0.12 * page_w)
+        )
         out = pd.DataFrame({
-            "p_heading": np.where(heading, 0.9, 0.05),
-            "p_text": np.where(is_text, np.where(heading, 0.1, 0.95), 0.0),
+            "p_heading": np.where(heading & ~drop, 0.9, 0.05),
+            "p_drop_capital": np.where(drop, 0.9, 0.05),
+            "p_text": np.where(is_text, np.where(heading | drop, 0.1, 0.95), 0.0),
         })
         return out
 
@@ -93,8 +103,46 @@ def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5) -> DataFr
         for pdf in iterator:
             scores = scorer.score_batch(pdf)
             pdf = pdf.copy()
-            mask = (scores["p_heading"].to_numpy() >= threshold) & (pdf["kind"] == "text")
-            pdf.loc[mask, "kind"] = "heading"
+            is_text = pdf["kind"] == "text"
+            mask_h = (scores["p_heading"].to_numpy() >= threshold) & is_text
+            pdf.loc[mask_h, "kind"] = "heading"
+            if "p_drop_capital" in scores:
+                mask_d = (scores["p_drop_capital"].to_numpy() >= threshold) & is_text
+                pdf.loc[mask_d & ~mask_h, "kind"] = "drop-capital"
+            yield pdf
+
+    return flat.mapInPandas(apply, schema=flat.schema)
+
+
+class FillTextScorer:
+    """B15/B16 OCR hook: fill missing `text` for text spans. The reference
+    runs CNN-RNN/TrOCR over line crops (eynollah_ocr.py:269-640); here the
+    pluggable scorer fills text per Arrow batch — the default is a
+    deterministic placeholder (content-addressed by doc/offset), a real
+    OCR model drops into the same batch interface."""
+
+    def fill_batch(self, pdf: pd.DataFrame) -> pd.Series:
+        missing = (pdf["kind"] == "text") & pdf["text"].isna()
+        out = pdf["text"].copy()
+        out[missing] = [
+            f"[ocr:{d}#{o}]" for d, o in
+            zip(pdf.loc[missing, "doc_id"], pdf.loc[missing, "offset"])
+        ]
+        return out
+
+
+def fill_missing_text(flat: DataFrame, scorer=None) -> DataFrame:
+    """Apply the OCR hook over flat span rows (text spans with NULL text
+    get content from the scorer; everything else passes through)."""
+    from eynollah_spark.packaging import ensure_distributed
+
+    ensure_distributed(flat.sparkSession)
+    scorer = scorer or FillTextScorer()
+
+    def apply(iterator):
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf["text"] = scorer.fill_batch(pdf)
             yield pdf
 
     return flat.mapInPandas(apply, schema=flat.schema)

@@ -70,3 +70,34 @@ def test_frame_sample_plan(spark):
     n_video = media.filter(F.col("kind") == "video").count()
     assert plan.count() == n_video * 4  # 4000ms / 1000ms
     assert plan.groupBy("media_ref").count().filter("count != 4").count() == 0
+
+
+def test_drop_capital_detection():
+    from eynollah_spark.scorer import HeuristicScorer
+
+    pdf = pd.DataFrame({
+        "kind": ["text"] * 5,
+        "x0": [100, 100, 100, 100, 100],
+        "x1": [160, 900, 900, 900, 900],     # first is narrow+tall
+        "y0": [100, 100, 140, 180, 220],
+        "y1": [180, 130, 170, 210, 250],
+        "width": [1000] * 5, "height": [2000] * 5,
+    })
+    s = HeuristicScorer().score_batch(pdf)
+    assert s["p_drop_capital"].iloc[0] > 0.5
+    assert (s["p_drop_capital"].iloc[1:] < 0.5).all()
+
+
+def test_fill_missing_text_ocr_hook(spark):
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.scorer import fill_missing_text
+
+    flat = corpus_flat_spark(spark, 30).drop("expected_kind", "expected_rank")
+    # blank out some text
+    holed = flat.withColumn(
+        "text", F.when(F.col("offset") % 5 == 0, None).otherwise(F.col("text")))
+    filled = fill_missing_text(holed)
+    assert filled.filter((F.col("kind") == "text") & F.col("text").isNull()).count() == 0
+    assert filled.filter(F.col("text").startswith("[ocr:")).count() > 0
+    # non-text spans untouched
+    assert filled.filter((F.col("kind") != "text") & F.col("text").isNotNull()).count() == 0
