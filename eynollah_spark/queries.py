@@ -249,6 +249,29 @@ FROM ordd
 """)
 # D8 (utils/counter.py:3-48): serial id formatting in write order.
 
+_both("ro_table_extend", ("documents",), lambda d: f"""
+WITH {_lines_cte(d)},
+tabs AS (
+  SELECT doc_id, line_id AS tab_id,
+         cx - 150 AS tx0, cx + 150 AS tx1, cy - 40 AS ty0, cy + 40 AS ty1
+  FROM lines WHERE col = 1 AND row % 5 = 0
+),
+hsep AS (
+  SELECT doc_id, cx - 200 AS sx0, cx + 200 AS sx1, cy + 15 AS sy
+  FROM lines WHERE col = 0 AND row % 3 = 1
+)
+SELECT t.doc_id, t.tab_id,
+       LEAST(t.ty0, COALESCE(MIN(s.sy), t.ty0)) AS new_y0,
+       GREATEST(t.ty1, COALESCE(MAX(s.sy), t.ty1)) AS new_y1
+FROM tabs t LEFT JOIN hsep s
+  ON s.doc_id = t.doc_id
+  AND LEAST(t.tx1, s.sx1) - GREATEST(t.tx0, s.sx0) >= 100
+  AND s.sy BETWEEN t.ty0 - 60 AND t.ty1 + 60
+GROUP BY t.doc_id, t.tab_id, t.ty0, t.ty1
+""")
+# C15 (eynollah.py:1336-1458): extend table y-range across crossing
+# horizontal separators -> min/max extent aggregation over an overlap join.
+
 _both("ro_resume_antijoin", ("documents",), lambda d: f"""
 WITH manifest AS (SELECT doc_id FROM documents WHERE doc_id % 7 < 2)
 SELECT d.doc_id FROM documents d
