@@ -47,9 +47,6 @@ KIND_MARGINALIA = "marginalia"
 
 # --- tunables (symbolic counterparts of reference constants) -----------------
 _VALLEY_FRAC = 0.12        # valley threshold vs profile max (C5 cutoff analogue)
-_RUN_FRAC = 0.05           # run threshold for main-vs-marginal segmentation
-_MARG_AREA_FRAC = 0.25     # marginal hump must have < this x main run area (C10 guard)
-_MARG_WIDTH_FRAC = 0.50    # ... and < this x main run width
 _GUTTER_MERGE_FRAC = 0.03  # merge column peaks closer than this x page width (C5 :409-433)
 _COL_MIN_MASS = 0.06       # balance pruning: drop columns lighter than this (C5 :390-405)
 _SPLITTER_X0 = 0.16        # full-width separator rule (D2 :1444-1457)
@@ -106,15 +103,6 @@ def gaussian_smooth(p, sigma):
     k = np.exp(-0.5 * (t / sigma) ** 2)
     k /= k.sum()
     return np.convolve(p, k, mode="same")
-
-
-def _runs_above(p, thr):
-    """Contiguous index runs where p > thr -> list of (start, end) half-open."""
-    above = p > thr
-    if not above.any():
-        return []
-    idx = np.flatnonzero(np.diff(np.concatenate(([0], above.view(np.int8), [0]))))
-    return list(zip(idx[0::2], idx[1::2]))
 
 
 # ------------------------------------------------------- marginalia (C10) ---

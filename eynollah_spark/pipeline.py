@@ -76,10 +76,6 @@ def flatten(df: DataFrame) -> DataFrame:
     )
 
 
-_KERNEL_COLS = ("doc_id", "kind", "text", "media_ref", "offset",
-                "x0", "x1", "y0", "y1", "width", "height", "rtl")
-
-
 def _batch_cols(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
     """One column->numpy extraction per Arrow batch (the per-doc loop then
     slices views — no pandas in the hot path)."""
