@@ -333,50 +333,43 @@ def find_gutters(x0, x1, y0, y1, width, vsep_cx=(), xlo=None, xhi=None):
 
 # --------------------------------------------------------- splitters (D2) ---
 
-def find_splitters(tx0, tx1, ty0, ty1, hseps, gutters, width, height, main_lo, main_hi,
-                   vseps=()):
-    """y-positions that split the page into XY-cut bands.
+def _dedupe_splitters(ys, height):
+    ys = sorted(set(ys))
+    out = [ys[0]]
+    for y in ys[1:]:
+        if y - out[-1] > 1.0:
+            out.append(y)
+    if out[-1] < height:
+        out[-1] = float(height)
+    return out
 
-    D2 port (utils/__init__.py:1444-1457): horizontal separators spanning
-    the main text width become splitters; D4's heading handling
-    (:1708-1721) splits multi-column-spanning text lines into their own
-    band via top/baseline splitter pairs. On single-column pages,
-    centered short lines (section headings) act as band splitters too —
-    the symbolic counterpart of D6's projection-valley banding
-    (utils/__init__.py:1050-1076), which separates heading rows from
-    paragraph rows on 1-col pages.
+
+def find_splitters(tx0, tx1, ty0, ty1, hseps, width, height, main_lo, main_hi,
+                   vseps=(), vsep_cx=()):
+    """y-positions that split the page into XY-cut bands — two passes,
+    mirroring the reference's per-part re-analysis (D2 re-runs
+    find_num_col per splitter part, utils/__init__.py:1444-1487).
+
+    Pass 1 (structural): full-main-width horizontal separators
+    (:1444-1457) and vertical-separator y-extent edges (D4's sweep walks
+    each separator's y-range, :1794-1864 — below the last vertical
+    separator the band reverts to full width; edges are guarded so they
+    never cut a text line roughly in half).
+
+    Pass 2 (per pass-1 band, using the band's OWN column structure):
+    lines spanning >=2 of the band's columns split into their own band
+    via top/baseline pairs (:1708-1721); in 1-column bands, centered
+    short lines alone in their row (section headings) split bands — the
+    symbolic counterpart of D6's projection-valley banding (:1050-1076).
+    Band-local gutters matter: a middle column of a 3-column band must
+    not be mistaken for a spanning line just because it crosses another
+    band's gutter.
     """
     ys = [0.0, float(height)]
     mw = max(main_hi - main_lo, 1.0)
     for sx0, sx1, sy0, sy1 in hseps:
         if sx0 <= main_lo + _SPLITTER_X0 * mw and sx1 >= main_lo + _SPLITTER_X1 * mw:
             ys.append((sy0 + sy1) / 2.0)
-    span_mask = spanning_lines(tx0, tx1, gutters, width)
-    if not gutters:
-        # 1-column page: centered short lines split bands — but only when
-        # alone in their row (a row-mate means side-by-side columns, not a
-        # heading)
-        col_cx = main_lo + mw / 2.0
-        w = tx1 - tx0
-        cxs = (tx0 + tx1) / 2.0
-        cys = (ty0 + ty1) / 2.0
-        hh = np.maximum(ty1 - ty0, 1.0)
-        cand = (w <= 0.5 * mw) & (np.abs(cxs - col_cx) <= 0.08 * mw)
-        for i in np.flatnonzero(cand):
-            mates = (np.abs(cys - cys[i]) < 0.6 * np.maximum(hh, hh[i])) & (
-                np.arange(len(cys)) != i
-            )
-            if not mates.any():
-                span_mask[i] = True
-    for i in np.flatnonzero(span_mask):
-        ys.append(float(ty0[i]) - 0.5)
-        ys.append(float(ty1[i]) + 0.5)
-    # vertical-separator extents bound their column split (D4's sweep walks
-    # each separator's y-range, utils/__init__.py:1794-1864: below the last
-    # vertical separator the band reverts to full width) -> their top and
-    # bottom edges are band splitters, unless that would cut a text line
-    # roughly in half (the symbolic stand-in for D4's per-column
-    # next-separator walk).
     h = np.maximum(ty1 - ty0, 1.0)
     for vy0, vy1 in vseps:
         for y in (float(vy0) - 0.5, float(vy1) + 0.5):
@@ -386,14 +379,35 @@ def find_splitters(tx0, tx1, ty0, ty1, hseps, gutters, width, height, main_lo, m
                 if (frac > 0.3).any():
                     continue
             ys.append(y)
-    ys = sorted(set(ys))
-    out = [ys[0]]
-    for y in ys[1:]:
-        if y - out[-1] > 1.0:
-            out.append(y)
-    if out[-1] < height:
-        out[-1] = float(height)
-    return out, span_mask
+    pass1 = _dedupe_splitters(ys, height)
+
+    cys = (ty0 + ty1) / 2.0
+    cxs = (tx0 + tx1) / 2.0
+    w = tx1 - tx0
+    extra = []
+    for lo, hi in zip(pass1[:-1], pass1[1:]):
+        m = (cys >= lo) & (cys < hi)
+        if not m.any():
+            continue
+        vband = [v for v, (vy0, vy1) in zip(vsep_cx, vseps)
+                 if min(vy1, hi) - max(vy0, lo) >= 0.3 * max(min(vy1 - vy0, hi - lo), 1.0)]
+        g = find_gutters(tx0[m], tx1[m], ty0[m], ty1[m], width, vsep_cx=vband)
+        idx = np.flatnonzero(m)
+        if g:
+            sm = spanning_lines(tx0[m], tx1[m], g, width)
+            for i in idx[sm]:
+                extra += [float(ty0[i]) - 0.5, float(ty1[i]) + 0.5]
+        else:
+            # 1-column band: centered short lines alone in their row
+            blo, bhi = float(tx0[m].min()), float(tx1[m].max())
+            bw = max(bhi - blo, 1.0)
+            col_cx = blo + bw / 2.0
+            cand = idx[(w[m] <= 0.5 * bw) & (np.abs(cxs[m] - col_cx) <= 0.08 * bw)]
+            for i in cand:
+                mates = m & (np.abs(cys - cys[i]) < 0.6 * np.maximum(h, h[i]))
+                if mates.sum() <= 1:  # only itself
+                    extra += [float(ty0[i]) - 0.5, float(ty1[i]) + 0.5]
+    return _dedupe_splitters(pass1 + extra, height)
 
 
 def merge_vertical_separators(vcx, vboxes, width):
@@ -661,12 +675,10 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
     bx0, bx1, by0, by1 = x0[body_ix], x1[body_ix], y0[body_ix], y1[body_ix]
     bcx, bcy = cx[body_ix], cy[body_ix]
 
-    # page-level gutters (C5) then band splitters (D2)
-    gutters_page = find_gutters(bx0, bx1, by0, by1, W, vsep_cx=vsep_cx,
-                                xlo=main_lo, xhi=main_hi)
-    splitters, span_mask = find_splitters(bx0, bx1, by0, by1, hseps,
-                                          gutters_page, W, H, main_lo, main_hi,
-                                          vseps=vsep_boxes)
+    # band splitters (D2, two-pass per-band analysis)
+    splitters = find_splitters(bx0, bx1, by0, by1, hseps, W, H,
+                               main_lo, main_hi,
+                               vseps=vsep_boxes, vsep_cx=vsep_cx)
 
     # D4: boxes per band, columns left->right (RTL flips, :1522-1524,1866-1879)
     boxes = []  # (bx0, bx1, by0, by1)

@@ -31,16 +31,16 @@ def test_full_width_hsep_becomes_splitter():
     tx1 = np.full(10, 1100.0)
     ty0 = np.arange(10) * 50.0 + 50
     ty1 = ty0 + 30
-    ys, _ = find_splitters(tx0, tx1, ty0, ty1,
-                           hseps=[(120.0, 1080.0, 290.0, 296.0)],
-                           gutters=[], width=1200, height=1000,
-                           main_lo=100.0, main_hi=1100.0)
+    ys = find_splitters(tx0, tx1, ty0, ty1,
+                        hseps=[(120.0, 1080.0, 290.0, 296.0)],
+                        width=1200, height=1000,
+                        main_lo=100.0, main_hi=1100.0)
     assert any(abs(y - 293.0) < 1.0 for y in ys)
     # narrow separator does not split
-    ys2, _ = find_splitters(tx0, tx1, ty0, ty1,
-                            hseps=[(500.0, 700.0, 290.0, 296.0)],
-                            gutters=[], width=1200, height=1000,
-                            main_lo=100.0, main_hi=1100.0)
+    ys2 = find_splitters(tx0, tx1, ty0, ty1,
+                         hseps=[(500.0, 700.0, 290.0, 296.0)],
+                         width=1200, height=1000,
+                         main_lo=100.0, main_hi=1100.0)
     assert not any(abs(y - 293.0) < 1.0 for y in ys2)
 
 
@@ -50,10 +50,10 @@ def test_vsep_edge_splitter_straddle_guard():
     tx1 = np.full(6, 500.0)
     ty0 = np.arange(6) * 100.0
     ty1 = ty0 + 60
-    ys, _ = find_splitters(tx0, tx1, ty0, ty1, hseps=[],
-                           gutters=[650.0], width=1300, height=800,
-                           main_lo=100.0, main_hi=1200.0,
-                           vseps=[(230.0, 700.0)])
+    ys = find_splitters(tx0, tx1, ty0, ty1, hseps=[],
+                        width=1300, height=800,
+                        main_lo=100.0, main_hi=1200.0,
+                        vseps=[(230.0, 700.0)], vsep_cx=[650.0])
     # vsep top at 230 cuts line 2 (200-260) through the middle -> dropped
     assert not any(229 < y < 231 for y in ys)
     # vsep bottom at 700 falls in the gap between lines -> kept
