@@ -50,3 +50,17 @@ def test_generator_deterministic():
     assert m1 == m2
     assert (a1["expected_rank"] == a2["expected_rank"]).all()
     assert list(a1["text"]) == list(a2["text"])
+
+
+def test_corpus_sweep_fresh_range():
+    """Sweep an index range the tuning never looked at (regression net for
+    the doc-2277 class of bug: band-local vs page-level column structure)."""
+    bad = []
+    for d in range(2200, 2400):
+        arrs, perm, kinds, n = run_doc(d)
+        ok = (arrs["expected_rank"][perm] == np.arange(n)).all() and all(
+            kinds[p] == arrs["expected_kind"][i] for p, i in enumerate(perm)
+        )
+        if not ok:
+            bad.append(d)
+    assert bad == []
