@@ -42,8 +42,16 @@ def build_zip() -> str:
     return _bz(CACHE)
 
 
+def _gen_fingerprint() -> str:
+    """Cache-bust the corpus when the generator changes between rounds."""
+    import hashlib
+
+    with open(os.path.join(REPO, "eynollah_spark", "corpus.py"), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:10]
+
+
 def ensure_corpus(n_docs: int) -> str:
-    path = os.path.join(CACHE, f"bench_corpus_{n_docs}")
+    path = os.path.join(CACHE, f"bench_corpus_{n_docs}_{_gen_fingerprint()}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     log(f"generating corpus ({n_docs} docs) -> {path}")
