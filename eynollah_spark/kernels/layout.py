@@ -518,9 +518,12 @@ def _row_cluster(cy, thr):
     return rows
 
 
-def order_lines_in_region(cx, cy, rtl):
+def order_lines_in_region(cx, cy, rtl, off=None):
     """D1 (eynollah.py:891-944): row-cluster line centers with threshold
-    median-pitch/1.5, rows top-down, left-right (or RTL) within a row."""
+    median-pitch/1.5, rows top-down, left-right (or RTL) within a row.
+
+    `off` (span offsets) is the final tie-break so geometrically identical
+    lines order deterministically regardless of input row order."""
     n = len(cx)
     if n <= 1:
         return np.arange(n)
@@ -530,7 +533,9 @@ def order_lines_in_region(cx, cy, rtl):
     pitch = float(np.median(pos)) if len(pos) else float("inf")
     rows = _row_cluster(cy, pitch / _LINE_ROW_DIV)
     xkey = -cx if rtl else cx
-    return np.lexsort((xkey, rows))
+    if off is None:
+        return np.lexsort((xkey, rows))
+    return np.lexsort((np.asarray(off), xkey, rows))
 
 
 def layout_document(doc: DocSpans):
@@ -615,16 +620,17 @@ def layout_permutation(doc: DocSpans):
     marg_ix = tix[marg_mask_t]
     body_ix = tix[~marg_mask_t]
 
+    off = np.asarray(doc.offset, dtype=np.int64)
     ordered_text = _order_body_text(
         body_ix, x0, x1, y0, y1, cx, cy, W, H,
         hseps=[(x0[i], x1[i], y0[i], y1[i]) for i in hsep_ix],
         vsep_cx=vcx,
         vsep_boxes=vboxes,
-        main_lo=main_lo, main_hi=main_hi, rtl=doc.rtl,
+        main_lo=main_lo, main_hi=main_hi, rtl=doc.rtl, off=off,
     )
 
     # --- C11 marginal split + D1 within marginal regions
-    marg_l, marg_r = _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, doc.rtl)
+    marg_l, marg_r = _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, doc.rtl, off)
 
     def _by_pos(ix):
         if len(ix) == 0:
@@ -646,9 +652,10 @@ def layout_permutation(doc: DocSpans):
     return perm, marg_mask[perm]
 
 
-def _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, rtl):
+def _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, rtl, off):
     """C11 (eynollah.py:1923-1947): split marginals at the page midline,
-    order each side's regions top-down, lines in D1 order within."""
+    order each side's regions top-down, lines in D1 order within.
+    Ties between geometrically identical regions/lines break by offset."""
     if len(marg_ix) == 0:
         return marg_ix.copy(), marg_ix.copy()
     labels = cluster_lines_into_regions(x0[marg_ix], x1[marg_ix], y0[marg_ix], y1[marg_ix], rtl=rtl)
@@ -658,22 +665,23 @@ def _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, rtl):
         members = marg_ix[labels == lab]
         rcy = cy[members].mean()
         rcx = cx[members].mean()
-        regs.append((rcy, rcx, members))
-    regs.sort(key=lambda t: (t[0], t[1]))
-    for rcy, rcx, members in regs:
-        sub = order_lines_in_region(cx[members], cy[members], rtl)
+        regs.append((rcy, rcx, int(off[members].min()), members))
+    regs.sort(key=lambda t: (t[0], t[1], t[2]))
+    for rcy, rcx, _roff, members in regs:
+        sub = order_lines_in_region(cx[members], cy[members], rtl, off[members])
         seq = members[sub]
         (out_l if rcx < W / 2.0 else out_r).extend(seq.tolist())
     return np.array(out_l, dtype=np.int64), np.array(out_r, dtype=np.int64)
 
 
 def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
-                     hseps, vsep_cx, vsep_boxes, main_lo, main_hi, rtl):
+                     hseps, vsep_cx, vsep_boxes, main_lo, main_hi, rtl, off):
     """D2 + D4 + D5 + D6 + D1 over the non-marginal text lines."""
     if len(body_ix) == 0:
         return body_ix.copy()
     bx0, bx1, by0, by1 = x0[body_ix], x1[body_ix], y0[body_ix], y1[body_ix]
     bcx, bcy = cx[body_ix], cy[body_ix]
+    boff = off[body_ix]
 
     # band splitters (D2, two-pass per-band analysis)
     splitters = find_splitters(bx0, bx1, by0, by1, hseps, W, H,
@@ -710,6 +718,7 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
     rx1 = np.array([bx1[labels == u].max() for u in uniq])
     ry0 = np.array([by0[labels == u].min() for u in uniq])
     ry1 = np.array([by1[labels == u].max() for u in uniq])
+    roff = np.array([boff[labels == u].min() for u in uniq])
     rcx, rcy = (rx0 + rx1) / 2.0, (ry0 + ry1) / 2.0
 
     # D5: assign each region to a box
@@ -738,12 +747,12 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
         thr = max(8.0, _ROW_THR_FRAC * float(np.median(heights)))
         rows = _row_cluster(rcy[rs], thr)
         xkey = -rcx[rs] if rtl else rcx[rs]
-        order_regions.extend(rs[np.lexsort((rcy[rs], xkey, rows))].tolist())
+        order_regions.extend(rs[np.lexsort((roff[rs], rcy[rs], xkey, rows))].tolist())
 
     # D1 within each region, concatenate
     out = []
     for r in order_regions:
         members = np.flatnonzero(labels == uniq[r])
-        sub = order_lines_in_region(bcx[members], bcy[members], rtl)
+        sub = order_lines_in_region(bcx[members], bcy[members], rtl, boff[members])
         out.extend(body_ix[members[sub]].tolist())
     return np.array(out, dtype=np.int64)

@@ -64,11 +64,17 @@ def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
             .partitionBy("part")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(os.path.join(out_path, "out")))
-        # lineage + metrics per bucket (span counts, kind histogram)
-        stats = (out.groupBy("part")
+        # lineage + metrics per bucket (span counts, kind histogram) —
+        # computed from the parquet partitions just written, NOT by
+        # re-aggregating the uncached `out` plan (which would re-run the
+        # whole kernel stage a second time per batch); this also makes
+        # the recorded metrics reflect the committed files.
+        written = (spark.read.parquet(os.path.join(out_path, "out"))
+                   .filter(F.col("part").isin(batch)))
+        stats = (written.groupBy("part")
                  .agg(F.count("*").alias("spans"),
                       F.countDistinct("doc_id").alias("docs")))
-        hist = (out.groupBy("part", "kind").count()
+        hist = (written.groupBy("part", "kind").count()
                 .groupBy("part")
                 .agg(F.to_json(F.map_from_entries(
                     F.collect_list(F.struct("kind", "count")))).alias("kind_hist")))

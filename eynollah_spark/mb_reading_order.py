@@ -111,12 +111,13 @@ def machine_reading_order(flat: DataFrame, scorer=None) -> DataFrame:
                        x1[m].max() - x0[m].min(),
                        y1[m].max() - y0[m].min())
         region_order = order_regions_pairwise(geom, sc, rtl=rtl)
+        off = g["offset"].to_numpy(np.int64)
         out = []
         for r in region_order:
             m = members[r]
             cx = (x0[m] + x1[m]) / 2.0
             cy = (y0[m] + y1[m]) / 2.0
-            out.extend(m[order_lines_in_region(cx, cy, rtl)].tolist())
+            out.extend(m[order_lines_in_region(cx, cy, rtl, off[m])].tolist())
         return pd.DataFrame({
             "doc_id": g["doc_id"].iloc[0],
             "ord": np.arange(len(out), dtype=np.int32),

@@ -31,18 +31,32 @@ from eynollah_spark.kernels.layout import DocSpans, layout_document, layout_perm
 from eynollah_spark.schemas import FLAT_OUT_SCHEMA, OUT_SCHEMA
 
 HEAVY_QUANTILE = 0.99
+#: Static heavy-doc span-count threshold (default). A full
+#: ``approx_percentile`` pre-scan costs an extra pass over the input at
+#: every invocation — at 100 TB that is an extra table read, so the
+#: default is static and the adaptive path is opt-in (sampled, not full).
+DEFAULT_HEAVY_THRESHOLD = 4096
+_HEAVY_SAMPLE_FRACTION = 0.02
 
 
 def salted_repartition(df: DataFrame, partitions: int, heavy_quantile: float = HEAVY_QUANTILE,
-                       heavy_threshold: int | None = None) -> DataFrame:
+                       heavy_threshold: int | str | None = DEFAULT_HEAVY_THRESHOLD) -> DataFrame:
     """Repartition documents by xxhash64(doc_id), isolating the media-heavy
     tail (span count above the given quantile) into its own hash space so
     a few 10^4-span docs cannot pile onto one partition (SURVEY.md §4
     'salted repartition'; replaces the reference's fork-pool page
-    scheduling, eynollah.py:1994-2032)."""
+    scheduling, eynollah.py:1994-2032).
+
+    heavy_threshold: int = static cutoff (default, zero extra scans);
+    'auto'/None = estimate the quantile from a small TABLESAMPLE (reads a
+    fraction of the input, never a full extra pass)."""
     df = df.withColumn("_n", F.size("spans"))
-    if heavy_threshold is None:
-        thr = df.selectExpr(f"approx_percentile(_n, {heavy_quantile}) AS t").first()["t"]
+    if heavy_threshold is None or heavy_threshold == "auto":
+        thr = (
+            df.sample(fraction=_HEAVY_SAMPLE_FRACTION, seed=7)
+            .selectExpr(f"approx_percentile(_n, {heavy_quantile}) AS t")
+            .first()["t"]
+        )
         heavy_threshold = int(thr if thr is not None else 1 << 30)
     light = df.filter(F.col("_n") <= heavy_threshold)
     heavy = df.filter(F.col("_n") > heavy_threshold)
@@ -106,10 +120,11 @@ def _doc_spans(cols, s: int, e: int) -> DocSpans | None:
     )
 
 
-def make_kernel(nested: bool):
+def make_kernel(nested: bool, fail_fast: bool = True):
     """Arrow-batch kernel: processes contiguous doc runs, carries the
     incomplete tail run to the next batch, emits ONE output frame per
-    batch (never per doc)."""
+    batch (never per doc). fail_fast=False quarantines per-document
+    kernel failures (same degrade-and-continue as the arrow path)."""
 
     def _process(pdf: pd.DataFrame, acc_flat, acc_nested):
         cols = _batch_cols(pdf)
@@ -124,7 +139,7 @@ def make_kernel(nested: bool):
                 if nested:
                     acc_nested.append((ids[s], []))
                 continue
-            perm, out_kind = layout_document(d)
+            perm, out_kind = _safe_document(d, fail_fast)
             if nested:
                 acc_nested.append((ids[s], [
                     {"kind": out_kind[p], "text": d.text[i],
@@ -195,6 +210,18 @@ def make_kernel(nested: bool):
                 yield out
 
     return kernel
+
+
+def _safe_document(d: DocSpans, fail_fast: bool):
+    """layout_document with the same per-document quarantine as
+    _safe_permutation (fallback: input-offset order, kinds unchanged)."""
+    try:
+        return layout_document(d)
+    except Exception:
+        if fail_fast:
+            raise
+        perm = np.argsort(d.offset, kind="stable").astype(np.int64)
+        return perm, d.kind[perm].copy()
 
 
 def _safe_permutation(d: DocSpans, fail_fast: bool):
@@ -329,7 +356,7 @@ def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
     df = salted_repartition(df, partitions, heavy_threshold=heavy_threshold)
     flat = flatten(df).sortWithinPartitions("doc_id", "offset")  # canonical per-doc row order -> bitwise-deterministic output
     if nested:
-        return flat.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
+        return flat.mapInPandas(make_kernel(True, fail_fast=fail_fast), schema=OUT_SCHEMA)
     return flat.mapInArrow(make_arrow_kernel(fail_fast=fail_fast), schema=FLAT_OUT_SCHEMA)
 
 
@@ -366,7 +393,7 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
                         "media_ref", "offset", "x0", "x1", "y0", "y1")
         f = f.repartition(partitions, F.xxhash64("doc_id"))
         f = f.sortWithinPartitions("doc_id", "offset")
-        return f.mapInPandas(make_kernel(True), schema=OUT_SCHEMA)
+        return f.mapInPandas(make_kernel(True, fail_fast=fail_fast), schema=OUT_SCHEMA)
     if strategy == "join":
         narrow = flat.select("doc_id", "width", "height", "rtl", "kind",
                              "offset", "x0", "x1", "y0", "y1")

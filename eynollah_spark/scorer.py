@@ -50,10 +50,23 @@ class HeuristicScorer:
         )
         # C13 drop-capital rule (utils/__init__.py:743-795 majority/area
         # rules, symbolically): a tall, narrow text box — letter-shaped,
-        # much taller than the page's typical line
+        # much taller than the page's typical line. The reference height
+        # is the per-DOCUMENT median of text-line heights (a batch mixes
+        # many docs; using a batch-wide median would make the output
+        # depend on batch composition).
+        ref_h = np.ones(len(pdf))
+        if is_text.any():
+            if "doc_id" in pdf.columns:
+                med = (
+                    pd.Series(h[is_text], index=pdf.index[is_text])
+                    .groupby(pdf.loc[is_text, "doc_id"]).median()
+                )
+                ref_h = pdf["doc_id"].map(med).fillna(1.0).to_numpy(float)
+            else:
+                ref_h = np.full(len(pdf), float(np.median(h[is_text])))
         drop = (
             is_text
-            & (h >= 2.2 * np.maximum(np.median(h[is_text]) if is_text.any() else 1.0, 1.0))
+            & (h >= 2.2 * np.maximum(ref_h, 1.0))
             & (w <= 1.6 * h)
             & (w <= 0.12 * page_w)
         )

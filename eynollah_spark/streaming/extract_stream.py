@@ -6,11 +6,17 @@ stream with exactly-once foreachBatch sinks: new document files landing
 in the input directory are extracted exactly once, tracked by the
 Structured Streaming checkpoint (complementing the batch manifest
 resume in eynollah_spark.manifest).
+
+Exactly-once is achieved by making the sink idempotent per micro-batch:
+output is partitioned by `batch_id` and written with dynamic partition
+overwrite, so a batch replayed after a crash (between sink write and
+checkpoint commit — foreachBatch alone is only at-least-once) overwrites
+its own partition instead of duplicating rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def extract_stream(spark: SparkSession, in_dir: str, out_dir: str,
@@ -31,7 +37,12 @@ def extract_stream(spark: SparkSession, in_dir: str, out_dir: str,
         else:
             out = extract_flat_input(batch_df, partitions=partitions,
                                      fail_fast=False)
-        out.write.mode("append").parquet(out_dir)
+        # idempotent per-batch sink: replayed batch_id overwrites itself
+        (out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir))
 
     w = (stream.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint))
