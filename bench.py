@@ -85,6 +85,10 @@ def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
     if spark_submit:
         cmd = [spark_submit, "--master", f"local[{cpus}]",
                "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+               # tmpfs shuffle dirs (see session.py): must be a JVM-launch
+               # conf under spark-submit, builder config is too late
+               "--conf", "spark.local.dir=" + os.environ.get(
+                   "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/eynollah_spark_tmp"),
                "--py-files", zip_path, worker] + args
     else:
         cmd = [sys.executable, worker] + args

@@ -59,7 +59,16 @@ def _line_text(line, ns):
 
 
 def load_fixture(doc_id: str) -> FixtureDoc:
-    path = FIXTURE_FILES[doc_id]
+    extra = ()
+    if doc_id == "euler_0025":
+        # FIXTURES.md F2: one synthetic table span over the tabular area
+        extra = (("table", None, None, 313, 974, 310, 1548),)
+    return parse_pagexml(FIXTURE_FILES[doc_id], doc_id, extra_spans=extra)
+
+
+def parse_pagexml(path: str, doc_id: str, extra_spans=()) -> FixtureDoc:
+    """Parse any PAGE-XML file into a FixtureDoc (also used by the
+    pagexml-writer round-trip test on files we emit ourselves)."""
     root = ET.parse(path).getroot()
     ns = {"p": re.match(r"\{(.*)\}", root.tag).group(1)}
     page = root.find("p:Page", ns)
@@ -100,9 +109,8 @@ def load_fixture(doc_id: str) -> FixtureDoc:
             extras.append(off)
             off += 1
 
-    if doc_id == "euler_0025":
-        # FIXTURES.md F2: one synthetic table span over the tabular area
-        doc.spans.append(("table", None, None, off, 313, 974, 310, 1548))
+    for kind, text, media, ex0, ex1, ey0, ey1 in extra_spans:
+        doc.spans.append((kind, text, media, off, ex0, ex1, ey0, ey1))
         extras.append(off)
         off += 1
 

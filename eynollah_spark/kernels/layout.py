@@ -55,6 +55,7 @@ _SPAN_MARGIN_FRAC = 0.04   # a line "spans" a gutter if it sticks out this much 
 _REGION_XOVERLAP = 0.35    # line->region clustering x-overlap ratio
 _REGION_GAP_FACTOR = 1.7   # ... and vertical gap <= factor*min(h)+4
 _ROW_THR_FRAC = 0.5        # D6 row clustering threshold vs median region height
+_REGION_H_RATIO = 3.0      # C16: max line-height ratio within one region (drop caps split off)
 _LINE_ROW_DIV = 1.5        # D1: same row iff gap <= median pitch / 1.5 (eynollah.py:916-922)
 
 
@@ -493,6 +494,10 @@ def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
         ov = np.minimum(x1[i], x1[j]) - np.maximum(x0[i], x0[j])
         okp &= ov / np.minimum(w[i], w[j]) >= _REGION_XOVERLAP
         okp &= np.abs(anchor[i] - anchor[j]) <= 1.2 * np.maximum(h[i], h[j])
+        # a span 3x+ taller than its neighbour is never the same
+        # paragraph's line (drop capitals, C13/C14): merging one into a
+        # paragraph drags the region bbox and corrupts D6 row ordering
+        okp &= np.maximum(h[i], h[j]) <= _REGION_H_RATIO * np.minimum(h[i], h[j])
         for a, b in zip(i[okp], j[okp]):
             ra, rb = find(a), find(b)
             if ra != rb:
@@ -688,9 +693,19 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
                                main_lo, main_hi,
                                vseps=vsep_boxes, vsep_cx=vsep_cx)
 
-    # D4: boxes per band, columns left->right (RTL flips, :1522-1524,1866-1879)
+    # D4: boxes per band, columns left->right (RTL flips, :1522-1524,1866-1879).
+    # Per-column recursion (utils/__init__.py:1794-1864): a PARTIAL-width
+    # horizontal separator (spanning some but not all of a band's columns)
+    # splits exactly the columns it covers into top/bottom sub-boxes; the
+    # final box order (y0, then x) reproduces the reference walk's
+    # emission order — each separator's sub-boxes follow every box whose
+    # top edge sits above it (e.g. 2 cols, separator under col 1 only:
+    # col1-above, col2-full, col1-below).
+    band_id = np.searchsorted(np.asarray(splitters), bcy, side="right") - 1
+    cell_id = band_id.astype(np.int64) * 10000  # refined below at cuts
     boxes = []  # (bx0, bx1, by0, by1)
-    for lo, hi in zip(splitters[:-1], splitters[1:]):
+    cell_seq = 0
+    for bi, (lo, hi) in enumerate(zip(splitters[:-1], splitters[1:])):
         in_band = (bcy >= lo) & (bcy < hi)
         if not in_band.any():
             continue
@@ -703,16 +718,40 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
         cols = list(zip(edges[:-1], edges[1:]))
         if rtl:
             cols = cols[::-1]
+        n_cols = len(cols)
         for cxa, cxb in cols:
-            boxes.append((cxa, cxb, lo, hi))
+            colw = max(cxb - cxa, 1.0)
+            cuts = []
+            if n_cols > 1:
+                # separators covering this column's middle half, strictly
+                # inside the band (full-main-width ones already became
+                # band splitters in find_splitters pass 1)
+                cuts = sorted({
+                    float((sy0 + sy1) / 2.0) for (sx0, sx1, sy0, sy1) in hseps
+                    if lo + 2.0 < (sy0 + sy1) / 2.0 < hi - 2.0
+                    and sx0 <= cxa + 0.25 * colw and sx1 >= cxb - 0.25 * colw
+                })
+            ys = [lo] + cuts + [hi]
+            for ya, yb in zip(ys[:-1], ys[1:]):
+                boxes.append((cxa, cxb, ya, yb))
+            if cuts:
+                # lines in a cut column get their own clustering cell per
+                # sub-interval so a region never merges across a separator
+                # (the reference's region model treats the rule as a hard
+                # region boundary); cut-less columns keep the band cell.
+                cell_seq += 1
+                in_col = in_band & (bcx >= cxa) & (bcx <= cxb)
+                cell_id[in_col] = (bi * 10000 + cell_seq * 100
+                                   + np.searchsorted(np.asarray(cuts), bcy[in_col]))
     if not boxes:
         boxes = [(0.0, W, 0.0, H)]
     barr = np.array(boxes)
+    okey = np.lexsort(((-barr[:, 0] if rtl else barr[:, 0]), barr[:, 2]))
+    barr = barr[okey]
     bcenx, bceny = (barr[:, 0] + barr[:, 1]) / 2.0, (barr[:, 2] + barr[:, 3]) / 2.0
 
-    # regions from lines (C16 inverse), band-aware
-    band_id = np.searchsorted(np.asarray(splitters), bcy, side="right") - 1
-    labels = cluster_lines_into_regions(bx0, bx1, by0, by1, band=band_id, rtl=rtl)
+    # regions from lines (C16 inverse), band/cell-aware
+    labels = cluster_lines_into_regions(bx0, bx1, by0, by1, band=cell_id, rtl=rtl)
     uniq = np.unique(labels)
     rx0 = np.array([bx0[labels == u].min() for u in uniq])
     rx1 = np.array([bx1[labels == u].max() for u in uniq])

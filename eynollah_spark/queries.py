@@ -287,13 +287,13 @@ SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(lower(trim(text)))
 """)
 
-def _tokens_cte(d):
+def _tokens_cte(d, src="documents"):
     if d == "spark":
         return ("tokens AS (SELECT doc_id, pos + 1 AS pos, tok FROM (SELECT doc_id, "
-                "posexplode(split(text, ' ')) AS (pos, tok) FROM documents))")
+                f"posexplode(split(text, ' ')) AS (pos, tok) FROM {src}))")
     return ("tokens AS (SELECT doc_id, "
             "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos, "
-            "unnest(string_split(text, ' ')) AS tok FROM documents)")
+            f"unnest(string_split(text, ' ')) AS tok FROM {src})")
 
 
 def _hash32(d, expr):
@@ -304,61 +304,238 @@ def _hash32(d, expr):
     return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
-def _shingles_cte(d):
-    # 3-word shingles via self-joined token offsets (portable, no arrays)
-    return f"""{_tokens_cte(d)},
+def _hash60(d, expr):
+    """First 60 bits of md5(expr) as BIGINT (15 hex chars: widest width
+    whose unsigned value still parses as signed BIGINT portably)."""
+    if d == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _shingles_cte(d, src="documents"):
+    # 3-word shingles via LEAD windows: ONE pass over tokens (a 3-way
+    # token self-join would scan and shuffle the token table three times)
+    return f"""{_tokens_cte(d, src)},
 shingles AS (
-  SELECT a.doc_id,
-         {_hash32(d, "CONCAT(a.tok, ' ', b.tok, ' ', c.tok)")} AS sh
-  FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-               JOIN tokens c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  SELECT doc_id, {_hash32(d, "CONCAT(tok, ' ', t2, ' ', t3)")} AS sh
+  FROM (
+    SELECT doc_id, tok,
+           LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+           LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+    FROM tokens)
+  WHERE t3 IS NOT NULL
+)"""
+
+
+def _planted_docs_cte():
+    """Near-duplicate test harness: the read-only testdata has no real
+    near-duplicates, so the dedup operators run over the raw table UNION
+    deterministic derived copies (every 20th doc with the first word
+    dropped — Jaccard ~0.9 vs its source). Identical in both dialects;
+    production swaps docs_nd for the raw table."""
+    return """docs_nd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+  FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
+# --- real MinHash: k=128 linear-congruential hash family, b=16 bands x r=8
+# rows (VERDICT r1 item 3; replaces the 4-value signature). All integer
+# arithmetic stays below 2^52 so BIGINT math is exact in both dialects.
+_MH_K, _MH_BANDS, _MH_P, _MH_M = 128, 16, 2147483647, 1048573
+
+
+def _mh_a(i):
+    return ((i * 2654435761) % _MH_M) * 2 + 1
+
+
+def _mh_c(i):
+    return (i * 40503 + 1299721) % _MH_M
+
+
+def _minhash_pairs_cte(d, src="docs_nd", cap=64):
+    """CTE chain shingles -> k=128 minhash -> 16 band signatures ->
+    capped band buckets -> candidate pairs. Buckets larger than `cap`
+    are dropped (with the cap recorded in the op's docstring): a hot
+    bucket must never go quadratic at scale.
+
+    Plan shape (the 100 TB consideration): the 128 mins are computed as
+    128 MIN(...) aggregate expressions in ONE GROUP BY doc_id pass —
+    never by exploding shingles x 128 into a 128x-wider shuffle. The 16
+    band branches re-reference the tiny (n_docs x 128) aggregate;
+    Spark's exchange reuse dedupes the upstream shingle scan."""
+    st = "STRING" if d == "spark" else "VARCHAR"
+    mins = ",\n         ".join(
+        f"MIN(({_mh_a(i)} * (sh % {_MH_P}) + {_mh_c(i)}) % {_MH_P}) AS m{i}"
+        for i in range(_MH_K))
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {h} AS sig FROM mh".format(
+            b=b,
+            h=_hash32(d, "CONCAT_WS(',', " + ", ".join(
+                f"CAST(m{8 * b + j} AS {st})" for j in range(8)) + ")"))
+        for b in range(_MH_BANDS))
+    return f"""{_shingles_cte(d, src)},
+ds AS (SELECT DISTINCT doc_id, sh FROM shingles),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM ds GROUP BY doc_id
+),
+sigs AS (
+{band_selects}
+),
+capped AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS n
+    FROM sigs)
+  WHERE n BETWEEN 2 AND {cap}
+),
+glist AS (
+  SELECT band, sig, {"collect_list(doc_id)" if d == "spark" else "list(doc_id)"} AS docs
+  FROM capped GROUP BY band, sig
+),
+pairs AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_bands
+  FROM ({'''
+    SELECT g.band, A.doc_a, B.doc_b FROM glist g
+    LATERAL VIEW explode(docs) A AS doc_a
+    LATERAL VIEW explode(docs) B AS doc_b
+    WHERE A.doc_a < B.doc_b''' if d == "spark" else '''
+    SELECT g.band, ta.doc_a, tb.doc_b
+    FROM glist g, UNNEST(g.docs) AS ta(doc_a), UNNEST(g.docs) AS tb(doc_b)
+    WHERE ta.doc_a < tb.doc_b'''})
+  GROUP BY doc_a, doc_b
 )"""
 
 
 _both("dedup_minhash_bands", ("documents",), lambda d: f"""
-WITH {_shingles_cte(d)},
-sig AS (
-  SELECT doc_id, CAST(sh % 4 AS INT) AS band, MIN(sh) AS minhash
-  FROM shingles GROUP BY doc_id, CAST(sh % 4 AS INT)
-)
-SELECT band, minhash, COUNT(*) AS n_docs
-FROM sig GROUP BY band, minhash HAVING COUNT(*) >= 1
+WITH {_minhash_pairs_cte(d, src="documents")}
+SELECT band, sig, COUNT(*) AS n_docs
+FROM sigs GROUP BY band, sig HAVING COUNT(*) >= 1
 """)
-# MinHash+LSH banding: shingle -> 32-bit hash -> per-band min -> bucket.
+# MinHash+LSH bucket histogram over REAL signatures: k=128 LCG hash
+# family, per-(doc, hash) min over shingles, b=16 bands of r=8 rows,
+# band signature = hash of the 8 ordered mins.
+
+_both("dedup_minhash_sig", ("documents",), lambda d: f"""
+WITH {_planted_docs_cte()},
+{_minhash_pairs_cte(d, src="docs_nd")}
+SELECT doc_a, doc_b, CAST(n_bands AS INT) AS n_bands FROM pairs
+""")
+# k=128/b=16/r=8 MinHash candidate pairs from CAPPED band buckets
+# (bucket size 2..64; a hot bucket never goes quadratic). The planted
+# near-dup copies guarantee the oracle comparison covers real matches.
 
 _both("dedup_ngram_jaccard", ("documents",), lambda d: f"""
-WITH {_shingles_cte(d)},
-ds AS (SELECT DISTINCT doc_id, sh FROM shingles),
+WITH {_planted_docs_cte()},
+{_minhash_pairs_cte(d, src="docs_nd")},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS common
+  FROM pairs p JOIN ds a ON a.doc_id = p.doc_a
+               JOIN ds b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
 )
 SELECT i.doc_a, i.doc_b,
        ROUND(CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common), 4) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.08
+WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.5
 """)
-# n-gram Jaccard near-dup: shared-shingle candidate pairs -> exact
-# Jaccard over distinct shingle sets.
+# n-gram Jaccard near-dup, scale-safe shape (VERDICT r1 item 2):
+# candidate pairs come from capped MinHash band buckets — NEVER from a
+# raw shared-shingle self-join (one hot shingle shared by 10^6 docs
+# would produce 10^12 join rows); exact Jaccard is then computed only
+# over the bounded candidate set.
+
+def _simhash_cte(d, src="docs_nd"):
+    """60-bit SimHash as 60 SUM(CASE) aggregate expressions in ONE
+    GROUP BY doc_id pass — never by exploding tokens x 60 bits into a
+    60x-wider shuffle (the same single-pass shape as the MinHash CTE)."""
+    shift = (lambda b: f"(hv >> {b})") if d == "duck" \
+        else (lambda b: f"shiftright(hv, {b})")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN {shift(b)} % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60))
+    sig = " + ".join(f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+                     for b in range(60))
+    return f"""{_tokens_cte(d, src)},
+th AS (SELECT doc_id, {_hash60(d, 'tok')} AS hv FROM tokens),
+bitsums AS (
+  SELECT doc_id,
+         {sums}
+  FROM th GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums
+)"""
+
 
 _both("dedup_simhash", ("documents",), lambda d: f"""
-WITH {_tokens_cte(d)},
-th AS (SELECT doc_id, {_hash32(d, 'tok')} AS hv FROM tokens),
-bits AS (
-  SELECT doc_id, b,
-         SUM(CASE WHEN {'(hv >> b)' if d == 'duck' else 'shiftright(hv, CAST(b AS INT))'} % 2 = 1
-                  THEN 1 ELSE -1 END) AS s
-  FROM th CROSS JOIN (
-    SELECT {'unnest(range(0, 16))' if d == 'duck' else 'explode(sequence(0, 15))'} AS b) bb
-  GROUP BY doc_id, b
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+WITH {_simhash_cte(d, src="documents")}
+SELECT doc_id, simhash FROM sims
 """)
-# SimHash: per-bit majority vote over token hashes -> 16-bit signature.
+# SimHash: per-bit majority vote over token hashes -> 60-bit signature
+# (15 md5 hex chars: the widest width whose unsigned value still parses
+# exactly as a signed BIGINT in both dialects).
+
+
+def _simhash_nd_sql(d):
+    st = "STRING" if d == "spark" else "VARCHAR"
+    lst = "collect_list" if d == "spark" else "list"
+    if d == "spark":
+        explode = """
+    SELECT CAST(element_at(split(A.pa, ':'), 1) AS BIGINT) AS doc_a,
+           CAST(element_at(split(A.pa, ':'), 2) AS BIGINT) AS sa,
+           CAST(element_at(split(B.pb, ':'), 1) AS BIGINT) AS doc_b,
+           CAST(element_at(split(B.pb, ':'), 2) AS BIGINT) AS sb
+    FROM glist g
+    LATERAL VIEW explode(docs) A AS pa
+    LATERAL VIEW explode(docs) B AS pb"""
+        shift, xr, gen = ("shiftright(simhash, CAST(15*c AS INT))", "sa ^ sb",
+                          "explode(sequence(0, 3))")
+    else:
+        explode = """
+    SELECT CAST(str_split(ta.pa, ':')[1] AS BIGINT) AS doc_a,
+           CAST(str_split(ta.pa, ':')[2] AS BIGINT) AS sa,
+           CAST(str_split(tb.pb, ':')[1] AS BIGINT) AS doc_b,
+           CAST(str_split(tb.pb, ':')[2] AS BIGINT) AS sb
+    FROM glist g, UNNEST(g.docs) AS ta(pa), UNNEST(g.docs) AS tb(pb)"""
+        shift, xr, gen = ("(simhash >> (15*c))", "xor(sa, sb)", "unnest(range(0, 4))")
+    return f"""
+WITH {_planted_docs_cte()},
+{_simhash_cte(d, src="docs_nd")},
+chunks AS (
+  SELECT doc_id, simhash, c, {shift} % 32768 AS chunk
+  FROM sims CROSS JOIN (SELECT {gen} AS c) cc
+),
+capped AS (
+  SELECT doc_id, simhash, c, chunk FROM (
+    SELECT doc_id, simhash, c, chunk,
+           COUNT(*) OVER (PARTITION BY c, chunk) AS n
+    FROM chunks)
+  WHERE n BETWEEN 2 AND 64
+),
+glist AS (
+  SELECT c, chunk,
+         {lst}(CONCAT(CAST(doc_id AS {st}), ':', CAST(simhash AS {st}))) AS docs
+  FROM capped GROUP BY c, chunk
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b, sa, sb FROM ({explode}
+  ) WHERE doc_a < doc_b
+)
+SELECT doc_a, doc_b, CAST(bit_count({xr}) AS INT) AS hamming
+FROM cand
+WHERE bit_count({xr}) <= 3
+"""
+
+
+_both("dedup_simhash_neardup", ("documents",), _simhash_nd_sql)
+# SimHash near-dup at scale: 60-bit signatures, Hamming-bucket join via
+# the pigeonhole chunks (distance <=3 => at least one of 4 15-bit chunks
+# equal), capped buckets, exact popcount filter on candidates only.
 
 _both("text_quality_score", ("documents",), lambda d: f"""
 SELECT doc_id,
@@ -450,33 +627,77 @@ _sql_pair("sim_lsh_buckets", ("embeddings",),
           f"SELECT {_lsh_expr_duck()} AS bucket, COUNT(*) AS n FROM embeddings GROUP BY 1")
 # axis-aligned random-hyperplane LSH: sign bits of the first 8 dims.
 
-def _emb_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
+_EMB_DIM = 64
+_LSH_TABLES, _LSH_BITS, _LSH_TERMS = 4, 8, 8
 
-    load_views(spark, sf_dir, "embeddings")
-    emb = spark.table("embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
-        F.expr(_lsh_expr_spark()).alias("bucket"))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    j = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-    dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    j = j.withColumn("sim", dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))))
-    return (j.filter(F.col("sim") >= 0.6)
-             .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-                     F.round("sim", 3).alias("sim")))
 
-_fn("dedup_embedding_neardup", ("embeddings",), _emb_neardup_spark, duck_sql=f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_lsh_expr_duck()} AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.v, b.v), 3) AS sim
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.6
-""")
-# embedding-cosine near-dup dedup via LSH bucket candidates.
+def _rh_bucket_expr(d, t):
+    """Random-hyperplane LSH bucket for hash table `t`: 8 sign bits, each
+    the sign of a sparse +-1 projection over 8 pseudo-randomly chosen
+    dims (deterministic integer schedule -> identical in both dialects)."""
+    def elem(i):  # 1-based element access
+        return f"element_at(v, {i})" if d == "spark" else f"v[{i}]"
+
+    bits = []
+    for j in range(_LSH_BITS):
+        terms = []
+        for k in range(_LSH_TERMS):
+            dim = ((t * 29 + j * 13 + k * 5) % _EMB_DIM) + 1
+            sgn = "+" if (t + j + k) % 2 == 0 else "-"
+            terms.append(f"{sgn} {elem(dim)}")
+        bits.append(f"(CASE WHEN ({' '.join(terms)}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+def _emb_nd_sql(d):
+    if d == "spark":
+        base_v = "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x)"
+        pert_v = "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x + 0.002)"
+        cos = ("aggregate(zip_with(ea.v, eb.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+               " / (SQRT(aggregate(ea.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+               " * SQRT(aggregate(eb.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))")
+    else:
+        base_v = "embedding::DOUBLE[]"
+        pert_v = "list_transform(embedding::DOUBLE[], x -> x + 0.002)"
+        cos = "list_cosine_similarity(ea.v, eb.v)"
+    tabs = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {t} AS t, {_rh_bucket_expr(d, t)} AS bucket FROM emb"
+        for t in range(_LSH_TABLES))
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {base_v} AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {pert_v} AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+tabs AS (
+{tabs}
+),
+counts AS (SELECT t, bucket, COUNT(*) AS n FROM tabs GROUP BY t, bucket),
+capped AS (
+  SELECT s.vec_id, s.t, s.bucket FROM tabs s
+  JOIN counts c ON s.t = c.t AND s.bucket = c.bucket AND c.n BETWEEN 2 AND 128
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, ROUND({cos}, 3) AS sim
+FROM cand c JOIN emb ea ON ea.vec_id = c.vec_a
+            JOIN emb eb ON eb.vec_id = c.vec_b
+WHERE {cos} >= 0.9
+"""
+
+
+_both("dedup_embedding_neardup", ("embeddings",), _emb_nd_sql)
+# embedding-cosine near-dup, scale-safe shape (VERDICT r1 items 3/4):
+# FOUR random-hyperplane LSH tables (8 sparse sign bits each) instead of
+# one static axis-aligned code; candidate pairs only from buckets of
+# size 2..128 (cap: a dense bucket never goes quadratic); exact cosine
+# verified on candidates only. Planted perturbed copies of every 10th
+# vector make the oracle comparison non-vacuous (~50 true pairs at
+# sf0.01, sim ~0.9999 vs natural max ~0.40 on these tables).
 
 # --- D. core relational / events ---------------------------------------------
 
@@ -593,90 +814,178 @@ SELECT user_id, n FROM (
 # --- E. the extraction engine itself (non-SQL-expressible: rows-only) --------
 
 def _extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from eynollah_spark.corpus import corpus_flat_spark
+    """Full XY-cut extraction, self-checked against the generator's
+    by-construction reading order (oracle-by-construction, VERDICT r1
+    item 9): returns per-bucket mismatch counts vs expected_rank /
+    expected_kind over a FULL OUTER join on (doc_id, offset) — dropped
+    rows, extra rows, wrong order and wrong kind all count. The DuckDB
+    oracle is the all-zeros table: the value-hash comparison therefore
+    certifies span-exact extraction for every document."""
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.corpus import corpus_flat_spark, expected_spark
     from eynollah_spark.pipeline import extract_flat_input
 
     n = max(200, int(100_000 * sf_of(sf_dir)))
-    flat = corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank")
-    return extract_flat_input(flat)
+    flat = corpus_flat_spark(spark, n)
+    out = extract_flat_input(flat.drop("expected_kind", "expected_rank"))
+    exp = expected_spark(flat)
+    g = out.select("doc_id", "offset", F.col("ord").alias("g_ord"),
+                   F.col("kind").alias("g_kind"))
+    e = exp.select("doc_id", "offset", F.col("ord").alias("e_ord"),
+                   F.col("kind").alias("e_kind"))
+    j = g.join(e, ["doc_id", "offset"], "full_outer")
+    bad = (F.col("g_ord").isNull() | F.col("e_ord").isNull()
+           | (F.col("g_ord") != F.col("e_ord"))
+           | (F.col("g_kind") != F.col("e_kind")))
+    bucket = (F.substring("doc_id", 4, 8).cast("int") % 10)
+    return (j.groupBy(bucket.alias("bucket"))
+            .agg(F.sum(bad.cast("int")).cast("bigint").alias("n_bad")))
 
-_fn("extract_reading_order", (), _extract_corpus)
+_fn("extract_reading_order", (), _extract_corpus, duck_sql="""
+SELECT CAST(b AS INT) AS bucket, CAST(0 AS BIGINT) AS n_bad
+FROM (SELECT unnest(range(0, 10)) AS b)
+""")
+
+# Pinned oracles (VERDICT r1 item 9): the corpus generator is a pure
+# deterministic function of doc_index, so these ops' outputs at the
+# driver's fixed sf=0.01 are constants. DuckDB cannot run the generator;
+# instead the expected aggregate is precomputed once (tools/pin_oracles.py)
+# and pinned as a VALUES table. Weaker than a structural oracle but far
+# stronger than rows-only: any regression in the op or generator flips
+# the value-hash.
 
 def _extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/B17/F6 image-only extraction, bucket-aggregated for the pinned
+    oracle: docs that contain images, and how many, per doc bucket."""
     from pyspark.sql import functions as F
 
     from eynollah_spark.corpus import corpus_flat_spark, nest_corpus
 
     n = max(200, int(100_000 * sf_of(sf_dir)))
     docs = nest_corpus(corpus_flat_spark(spark, n))
-    return docs.select(
+    per = docs.select(
         "doc_id",
-        F.expr("filter(spans, s -> s.kind = 'image')").alias("images"),
-    ).filter(F.size("images") > 0).select(
-        "doc_id", F.size("images").alias("n_images"))
+        F.size(F.expr("filter(spans, s -> s.kind = 'image')")).alias("n_images"),
+    ).filter(F.col("n_images") > 0)
+    bucket = (F.substring("doc_id", 4, 8).cast("int") % 10)
+    return (per.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_images").cast("bigint").alias("n_images")))
 
-_fn("extract_images_only", (), _extract_images)
+_fn("extract_images_only", (), _extract_images, duck_sql="""
+SELECT CAST(bucket AS INT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_images AS BIGINT) AS n_images
+FROM (VALUES {PIN_extract_images_only}) AS t(bucket, n_docs, n_images)
+""")
 # B17 (extract_images.py:24-281): image-only extraction = projection+filter.
 
-def _extract_basic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D7 (--skip_layout_and_reading_order, eynollah.py:2102-2148): whole
-    page = one region; pure window-function ordering, no kernel."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from eynollah_spark.corpus import corpus_flat_spark
-
-    n = max(200, int(100_000 * sf_of(sf_dir)))
-    flat = corpus_flat_spark(spark, n).filter(F.col("kind") == "text")
-    cy = ((F.col("y0") + F.col("y1")) / 2)
-    cx = ((F.col("x0") + F.col("x1")) / 2)
-    flat = flat.select("doc_id", "offset", cy.alias("cy"), cx.alias("cx"))
-    w = W.partitionBy("doc_id").orderBy("cy", "cx", "offset")
-    prev = F.lag("cy").over(w)
-    flat = flat.withColumn(
-        "row_cluster",
-        F.sum(F.when(prev.isNull() | ((F.col("cy") - prev) > 14), 1).otherwise(0)).over(w))
-    w2 = W.partitionBy("doc_id").orderBy("row_cluster", "cx", "offset")
-    return flat.select("doc_id", "offset",
-                       F.row_number().over(w2).cast("int").alias("ord"))
-
-_fn("extract_basic_mode", (), _extract_basic_mode)
+_both("extract_basic_mode", ("documents",), lambda d: f"""
+WITH {_lines_cte(d)},
+g AS (
+  SELECT doc_id, line_id, cy, cx,
+         CASE WHEN lag(cy) OVER w IS NULL OR cy - lag(cy) OVER w > 14
+              THEN 1 ELSE 0 END AS brk
+  FROM lines
+  WINDOW w AS (PARTITION BY doc_id ORDER BY cy, cx, line_id)
+),
+r AS (
+  SELECT doc_id, line_id, cx, cy,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY cy, cx, line_id
+                        ROWS UNBOUNDED PRECEDING) AS row_cluster
+  FROM g
+)
+SELECT doc_id, line_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY row_cluster, cx, line_id) AS INT) AS ord
+FROM r
+""")
+# D7 (--skip_layout_and_reading_order, eynollah.py:2102-2148): whole
+# page = one region; row-cluster by cy gap then left-to-right — a pure
+# window-function plan, expressed identically in both dialects over the
+# synthesized lines table (oracle-checked; VERDICT r1 item 9).
 
 def _extract_machine_ro(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B14 pairwise-model reading order (optional ML path) over the corpus."""
+    """B14 pairwise-model reading order (optional ML path) over the
+    corpus, fingerprinted per doc bucket for the pinned oracle."""
+    from pyspark.sql import functions as F
+
     from eynollah_spark.corpus import corpus_flat_spark
     from eynollah_spark.mb_reading_order import machine_reading_order
 
     n = max(100, int(20_000 * sf_of(sf_dir)))
-    return machine_reading_order(
+    out = machine_reading_order(
         corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank"))
+    fp = F.expr("CAST(conv(substr(md5(CONCAT(doc_id, ':', CAST(ord AS STRING), "
+                "':', CAST(offset AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    bucket = (F.substring("doc_id", 4, 8).cast("int") % 10)
+    return (out.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(fp).cast("bigint").alias("fp_sum")))
 
-_fn("extract_machine_reading_order", (), _extract_machine_ro)
+_fn("extract_machine_reading_order", (), _extract_machine_ro, duck_sql="""
+SELECT CAST(bucket AS INT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(fp_sum AS BIGINT) AS fp_sum
+FROM (VALUES {PIN_extract_machine_reading_order}) AS t(bucket, n_rows, fp_sum)
+""")
 
 def _extract_refine_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C12/B12 heading refinement via the pluggable scorer."""
+    """C12/B12 heading refinement via the pluggable scorer (pinned-oracle
+    kind histogram)."""
     from pyspark.sql import functions as F
 
     from eynollah_spark.corpus import corpus_flat_spark
     from eynollah_spark.scorer import refine_kinds
 
     n = max(200, int(50_000 * sf_of(sf_dir)))
-    flat = corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank")
-    return refine_kinds(flat).groupBy("kind").agg(F.count("*").alias("n"))
+    flat = (corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank")
+            .filter(F.col("offset") >= 0))  # drop empty-doc marker rows
+    return refine_kinds(flat).groupBy("kind").agg(F.count("*").cast("bigint").alias("n"))
 
-_fn("extract_refine_headings", (), _extract_refine_headings)
+_fn("extract_refine_headings", (), _extract_refine_headings, duck_sql="""
+SELECT kind, CAST(n AS BIGINT) AS n
+FROM (VALUES {PIN_extract_refine_headings}) AS t(kind, n)
+""")
 
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/embed plumbing over the synthetic media table."""
+    """Multimodal decode/embed plumbing over the synthetic media table
+    (pinned-oracle aggregate of the decoded stats)."""
+    from pyspark.sql import functions as F
+
     from eynollah_spark.multimodal import decode_and_embed, synth_media_table
 
     n = max(64, int(10_000 * sf_of(sf_dir)))
-    return decode_and_embed(synth_media_table(spark, n)).drop("embedding")
+    out = decode_and_embed(synth_media_table(spark, n))
+    return out.agg(F.count("*").cast("bigint").alias("n_rows"),
+                   F.sum("width").cast("bigint").alias("w_sum"),
+                   F.sum("height").cast("bigint").alias("h_sum"),
+                   F.round(F.sum("mean_luma"), 2).alias("luma_sum"))
 
-_fn("multimodal_decode_embed", (), _multimodal_decode)
+_fn("multimodal_decode_embed", (), _multimodal_decode, duck_sql="""
+SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(w_sum AS BIGINT) AS w_sum,
+       CAST(h_sum AS BIGINT) AS h_sum, CAST(luma_sum AS DOUBLE) AS luma_sum
+FROM (VALUES {PIN_multimodal_decode_embed}) AS t(n_rows, w_sum, h_sum, luma_sum)
+""")
 
 
 # --------------------------------------------------------------------------
 
 def registry():
-    return _Q
+    """Query registry with pinned-oracle substitution: duck_sql templates
+    containing {PIN_<name>} get the precomputed VALUES rows from
+    eynollah_spark._pins (written by tools/pin_oracles.py); if a pin is
+    missing the query degrades to rows-only (duck_sql=None)."""
+    try:
+        from eynollah_spark._pins import PINS
+    except ImportError:
+        PINS = {}
+    out = {}
+    for name, q in _Q.items():
+        ds = q.get("duck_sql")
+        if ds and "{PIN_" in ds:
+            q = dict(q)
+            key = f"PIN_{name}"
+            q["duck_sql"] = (ds.replace("{" + key + "}", PINS[key])
+                             if key in PINS else None)
+        out[name] = q
+    return out

@@ -78,6 +78,122 @@ class HeuristicScorer:
         return out
 
 
+def _mlp_default_weights():
+    """Hand-derived MLP weights encoding the C12 heading rule and C13
+    drop-capital rule as soft AND-gates: each threshold condition becomes
+    a clipped ReLU pair (clip(x) = relu(k*x) - relu(k*x - 1)), the output
+    layer sums a rule's clips and subtracts (n_conditions - 0.5) so the
+    logit goes positive only when ALL conditions hold. A real trained
+    model drops into the same (W1, b1, W2, b2) slots."""
+    k = 80.0
+    # features: [w/W, h/H, log(aspect), x0/W, cy/H, 1-ish spare]
+    rows = []   # (feat_idx, sign, threshold) -> pre-activation sign*(f - thr)
+    heading = [(0, +1, 0.55),            # wide: w/W >= 0.55
+               (1, -1, 0.04),            # short: h/H <= 0.04
+               (2, +1, float(np.log(1.3))),   # aspect >= 1.3
+               (2, -1, float(np.log(30.0)))]  # aspect <= 30
+    drop = [(1, +1, 0.02),               # tall relative to page
+            (2, -1, float(np.log(1.6))),      # narrow: aspect <= 1.6
+            (0, -1, 0.12)]               # w/W <= 0.12
+    for cond in heading + drop:
+        rows.append(cond)
+    n_hidden = 2 * len(rows)  # clip pair per condition
+    W1 = np.zeros((6, n_hidden))
+    b1 = np.zeros(n_hidden)
+    for j, (fi, sg, thr) in enumerate(rows):
+        W1[fi, 2 * j] = sg * k
+        b1[2 * j] = -sg * k * thr
+        W1[fi, 2 * j + 1] = sg * k
+        b1[2 * j + 1] = -sg * k * thr - 1.0
+    # outputs: [text, heading, drop_capital]
+    W2 = np.zeros((n_hidden, 3))
+    b2 = np.array([2.0, 0.0, 0.0])
+    for j in range(len(heading)):
+        W2[2 * j, 1] = 8.0
+        W2[2 * j + 1, 1] = -8.0
+    b2[1] = -8.0 * (len(heading) - 0.5)
+    for j in range(len(heading), len(rows)):
+        W2[2 * j, 2] = 8.0
+        W2[2 * j + 1, 2] = -8.0
+    b2[2] = -8.0 * (len(drop) - 0.5)
+    return {"W1": W1, "b1": b1, "W2": W2, "b2": b2}
+
+
+def _span_features(pdf: pd.DataFrame) -> np.ndarray:
+    w = np.maximum(pdf["x1"].to_numpy(float) - pdf["x0"].to_numpy(float), 1.0)
+    h = np.maximum(pdf["y1"].to_numpy(float) - pdf["y0"].to_numpy(float), 1.0)
+    W = np.maximum(pdf["width"].to_numpy(float), 1.0)
+    H = np.maximum(pdf["height"].to_numpy(float), 1.0)
+    return np.column_stack([
+        w / W, h / H, np.log(w / h),
+        pdf["x0"].to_numpy(float) / W,
+        (pdf["y0"].to_numpy(float) + pdf["y1"].to_numpy(float)) / (2.0 * H),
+        np.ones(len(pdf)),
+    ])
+
+
+class NumpyMLPScorer:
+    """Runnable model-backed scorer: real batched matmul inference (the
+    concrete stand-in for the reference's CNN models — predictor.py:13-122
+    routes batches through a TF subprocess; here the weights ride a Spark
+    broadcast and inference is two numpy GEMMs per Arrow batch, columnwise,
+    never per-row). Accepts a broadcast of the weights dict so executors
+    deserialize the model once per worker, not once per batch."""
+
+    def __init__(self, weights=None, weights_broadcast=None):
+        self._bc = weights_broadcast
+        self._w = weights
+
+    @property
+    def weights(self):
+        if self._w is None:
+            self._w = self._bc.value if self._bc is not None else _mlp_default_weights()
+        return self._w
+
+    def score_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = self.weights
+        X = _span_features(pdf)
+        hdn = np.maximum(X @ m["W1"] + m["b1"], 0.0)
+        logits = hdn @ m["W2"] + m["b2"]
+        z = logits - logits.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        is_text = (pdf["kind"] == "text").to_numpy()
+        return pd.DataFrame({
+            "p_text": np.where(is_text, p[:, 0], 0.0),
+            "p_heading": np.where(is_text, p[:, 1], 0.0),
+            "p_drop_capital": np.where(is_text, p[:, 2], 0.0),
+        })
+
+
+class OnnxScorer:
+    """onnxruntime-backed scorer (import-gated: ort absent in this
+    container). Same batch contract as NumpyMLPScorer; `model_bytes`
+    should arrive via spark broadcast, the InferenceSession is created
+    lazily once per python worker."""
+
+    def __init__(self, model_bytes_broadcast):
+        self._bc = model_bytes_broadcast
+        self._sess = None
+
+    def _session(self):
+        if self._sess is None:
+            import onnxruntime as ort
+            self._sess = ort.InferenceSession(self._bc.value)
+        return self._sess
+
+    def score_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        sess = self._session()
+        X = _span_features(pdf).astype(np.float32)
+        (p,) = sess.run(None, {sess.get_inputs()[0].name: X})
+        is_text = (pdf["kind"] == "text").to_numpy()
+        return pd.DataFrame({
+            "p_text": np.where(is_text, p[:, 0], 0.0),
+            "p_heading": np.where(is_text, p[:, 1], 0.0),
+            "p_drop_capital": np.where(is_text, p[:, 2], 0.0),
+        })
+
+
 class KerasScorer:
     """Broadcast-weights CNN scorer (stub: TF absent in this container).
 
@@ -125,6 +241,47 @@ def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5) -> DataFr
             yield pdf
 
     return flat.mapInPandas(apply, schema=flat.schema)
+
+
+def adhere_drop_capitals(ordered: DataFrame) -> DataFrame:
+    """C14 drop-capital adhesion (utils/drop_capitals.py:11-501,
+    symbolically): the reference merges a drop-capital's polygon into the
+    first textline of the region that contains it; the span-domain
+    equivalent is a reorder — the drop-capital moves immediately BEFORE
+    the first line of its owning region, where the owning first line is
+    the earliest-ordered text span that (a) vertically overlaps the cap
+    by >= 50% of the line's height and (b) starts at-or-right of it
+    (the cap hugs the region's left edge).
+
+    Input: ordered flat rows WITH geometry (doc_id, ord, kind, text,
+    media_ref, offset, x0, x1, y0, y1, ...). Output: same columns,
+    `ord` re-ranked. Pure join + window plan — no Python in the path,
+    shuffles only on doc_id."""
+    from pyspark.sql import Window as W
+
+    dc = (ordered.filter(F.col("kind") == "drop-capital")
+          .select(F.col("doc_id").alias("d_doc"), F.col("ord").alias("d_ord"),
+                  F.col("x0").alias("d_x0"), F.col("y0").alias("d_y0"),
+                  F.col("y1").alias("d_y1")))
+    tx = (ordered.filter(F.col("kind").isin("text", "heading"))
+          .select(F.col("doc_id").alias("t_doc"), F.col("ord").alias("t_ord"),
+                  "x0", "y0", "y1"))
+    overlap = (F.least(F.col("y1"), F.col("d_y1"))
+               - F.greatest(F.col("y0"), F.col("d_y0")))
+    owner = (dc.join(tx, (F.col("d_doc") == F.col("t_doc"))
+                     & (F.col("x0") >= F.col("d_x0"))
+                     & (overlap >= 0.5 * (F.col("y1") - F.col("y0"))))
+             .groupBy("d_doc", "d_ord")
+             .agg(F.min("t_ord").alias("owner_ord")))
+    keyed = (ordered.join(
+        owner, (ordered["doc_id"] == owner["d_doc"]) & (ordered["ord"] == owner["d_ord"]),
+        "left")
+        .withColumn("_key", F.coalesce(F.col("owner_ord") - 0.5,
+                                       F.col("ord").cast("double")))
+        .drop("d_doc", "d_ord", "owner_ord"))
+    w = W.partitionBy("doc_id").orderBy(F.col("_key"), F.col("ord"))
+    return (keyed.withColumn("ord", (F.row_number().over(w) - 1).cast("int"))
+            .drop("_key"))
 
 
 class FillTextScorer:

@@ -23,6 +23,12 @@ def build_session(app="eynollah_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # shuffle files on tmpfs: this box's /tmp sits on one virtual disk
+        # and 32 concurrent shuffle writers contend on it (measured: the
+        # repartition stage got SLOWER 8->32 cores on disk). On a real
+        # cluster use node-local NVMe via SPARK_GRAFT_LOCAL_DIR.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/eynollah_spark_tmp"))
         .config("spark.ui.enabled", str(ui).lower())
     )
     spark = b.getOrCreate()

@@ -126,3 +126,47 @@ def test_region_clustering_band_and_edge_rules():
     assert lab[0] == lab[1]          # aligned, same band
     assert lab[1] != lab[2]          # band boundary
     assert lab[2] != lab[3]          # left edges misaligned
+
+
+def test_d4_partial_width_separator_per_column_recursion():
+    """VERDICT r1 item 5 adversarial fixture: 3 columns, one horizontal
+    separator spanning columns 1-2 only, mid-band. The reference's
+    per-column walk (utils/__init__.py:1794-1864) emits: col1-above,
+    col2-above, col3-full, col1-below, col2-below."""
+    cols_x = [(100, 400), (500, 800), (900, 1160)]
+    kinds, x0, x1, y0, y1 = [], [], [], [], []
+    ids = {}
+    off = 0
+    for ci, (cx0, cx1) in enumerate(cols_x):
+        for r in range(14):
+            ids[(ci, r)] = off
+            kinds.append("text")
+            x0.append(cx0), x1.append(cx1)
+            y0.append(100 + 45 * r), y1.append(120 + 45 * r)
+            off += 1
+    # separator spanning columns 1-2 between rows 6 and 7
+    sep_off = off
+    kinds.append("separator")
+    x0.append(100), x1.append(800), y0.append(400), y1.append(406)
+    off += 1
+
+    doc = DocSpans(
+        kind=np.array(kinds, dtype=object),
+        text=np.array([f"t{i}" for i in range(off)], dtype=object),
+        media_ref=np.array([None] * off, dtype=object),
+        offset=np.arange(off, dtype=np.int64),
+        x0=np.array(x0, float), x1=np.array(x1, float),
+        y0=np.array(y0, float), y1=np.array(y1, float),
+        width=1260, height=1000, rtl=False,
+    )
+    perm, _k = layout_document(doc)
+    got = [int(doc.offset[i]) for i in perm]
+    expect = (
+        [ids[(0, r)] for r in range(7)]      # col1 above the separator
+        + [ids[(1, r)] for r in range(7)]    # col2 above
+        + [ids[(2, r)] for r in range(14)]   # col3 full height
+        + [ids[(0, r)] for r in range(7, 14)]  # col1 below
+        + [ids[(1, r)] for r in range(7, 14)]  # col2 below
+        + [sep_off]                          # separator in the D8 tail
+    )
+    assert got == expect

@@ -1,0 +1,104 @@
+"""PAGE-XML writer round-trip: extract the reference fixture pages with
+the kernel, serialize to PAGE-XML, re-parse with the fixtures parser,
+and require span-sequence equality (kind, text, order) with the kernel
+output — i.e. the XML we write encodes exactly the reading order and
+kinds the engine produced (VERDICT r1 missing-item #1; reference
+conventions writer.py:184-290, utils/xml.py:49-66, utils/counter.py)."""
+
+import os
+import re
+import tempfile
+
+import numpy as np
+
+from eynollah_spark.fixtures import all_fixtures, parse_pagexml
+from eynollah_spark.kernels.layout import DocSpans, layout_document
+from eynollah_spark.pagexml import doc_to_pagexml
+
+
+def _extract(doc):
+    spans = doc.spans
+    d = DocSpans(
+        kind=np.array([s[0] for s in spans], dtype=object),
+        text=np.array([s[1] for s in spans], dtype=object),
+        media_ref=np.array([s[2] for s in spans], dtype=object),
+        offset=np.array([s[3] for s in spans], dtype=np.int64),
+        x0=np.array([s[4] for s in spans], float),
+        x1=np.array([s[5] for s in spans], float),
+        y0=np.array([s[6] for s in spans], float),
+        y1=np.array([s[7] for s in spans], float),
+        width=doc.width, height=doc.height, rtl=False,
+    )
+    perm, kinds = layout_document(d)
+    return d, perm, kinds
+
+
+def _write_xml(doc, tmpdir):
+    d, perm, kinds = _extract(doc)
+    xml = doc_to_pagexml(
+        doc.doc_id, doc.width, doc.height,
+        list(kinds),
+        [d.text[i] for i in perm], [d.media_ref[i] for i in perm],
+        [int(d.offset[i]) for i in perm],
+        [d.x0[i] for i in perm], [d.x1[i] for i in perm],
+        [d.y0[i] for i in perm], [d.y1[i] for i in perm])
+    path = os.path.join(tmpdir, f"{doc.doc_id}.xml")
+    with open(path, "w") as f:
+        f.write(xml)
+    return path, [(kinds[p], d.text[i]) for p, i in enumerate(perm)], xml
+
+
+def test_roundtrip_all_fixtures():
+    with tempfile.TemporaryDirectory() as tmp:
+        for doc in all_fixtures():
+            path, out_seq, xml = _write_xml(doc, tmp)
+            back = parse_pagexml(path, doc.doc_id)
+            got_seq = [(k, t) for (k, t, _m, _o) in back.expected]
+            assert got_seq == out_seq, f"{doc.doc_id}: round-trip sequence diverged"
+
+
+def test_id_and_ro_conventions():
+    with tempfile.TemporaryDirectory() as tmp:
+        doc = all_fixtures()[0]  # kant_0020
+        path, _seq, xml = _write_xml(doc, tmp)
+        # 1-based zero-padded region/line ids, reference templates
+        assert 'id="region_0001"' in xml
+        assert re.search(r'id="region_\d{4}_line_0001"', xml)
+        # the RO group id matches the reference constant
+        assert 'OrderedGroup id="ro357564684568544579089"' in xml
+        # RO indices are 0..n-1 in order
+        idx = [int(m) for m in re.findall(r'RegionRefIndexed index="(\d+)"', xml)]
+        assert idx == list(range(len(idx)))
+        # every RO regionRef exists as a TextRegion
+        refs = re.findall(r'regionRef="([^"]+)"', xml)
+        for r in refs:
+            assert f'<TextRegion id="{r}"' in xml
+
+
+def test_spark_pagexml_df(spark):
+    """End-to-end through Spark: corpus -> extract -> attach geometry ->
+    per-doc XML strings -> local files, reparse one."""
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pagexml import attach_geometry, to_pagexml_df, write_pagexml_dir
+    from eynollah_spark.pipeline import extract_flat_input
+
+    flat = corpus_flat_spark(spark, 12, partitions=2).cache()
+    out = extract_flat_input(flat, partitions=4)
+    rows = attach_geometry(out, flat)
+    xml_df = to_pagexml_df(rows)
+    got = {r["doc_id"]: r["xml"] for r in xml_df.collect()}
+    n_docs = flat.select("doc_id").distinct().count()
+    assert len(got) == n_docs
+    assert all(x.startswith("<?xml") and "<PcGts" in x for x in got.values())
+    with tempfile.TemporaryDirectory() as tmp:
+        write_pagexml_dir(xml_df, tmp)
+        files = sorted(os.listdir(tmp))
+        assert len(files) == n_docs
+        some = files[0]
+        back = parse_pagexml(os.path.join(tmp, some), some[:-4])
+        # reparsed doc has the same number of spans as the engine emitted
+        n_out = out.filter(F.col("doc_id") == some[:-4]).count()
+        assert len(back.expected) == n_out
+    flat.unpersist()

@@ -40,12 +40,22 @@ def test_extraction_plan_has_single_shuffle(spark):
     from eynollah_spark.pipeline import extract_flat_input
 
     flat = corpus_flat_spark(spark, 50)
-    out = extract_flat_input(flat.drop("expected_kind", "expected_rank"), partitions=4)
+    # inline strategy: exactly the kernel repartition (plus the corpus
+    # generator's own exchange); any more betrays an accidental shuffle
+    out = extract_flat_input(flat.drop("expected_kind", "expected_rank"),
+                             partitions=4, strategy="inline")
     p = _plan(out)
-    # corpus generation feeds one repartition exchange into the kernel;
-    # any additional exchange would betray an accidental extra shuffle
     assert p.count("Exchange") <= 2
     assert "MapInArrow" in p or "ArrowEvalPython" in p or "MapInPandas" in p
+    # join strategy (default): kernel repartition + the two join-side
+    # exchanges, and the payload join must be a shuffled HASH join (no
+    # sort of either 10^9-row side), never a nested-loop/cartesian
+    outj = extract_flat_input(flat.drop("expected_kind", "expected_rank"),
+                              partitions=4, strategy="join")
+    pj = _plan(outj)
+    assert pj.count("Exchange") <= 4
+    assert "ShuffledHashJoin" in pj
+    assert "CartesianProduct" not in pj and "BroadcastNestedLoop" not in pj
 
 
 def test_whole_stage_codegen_active(spark):
@@ -54,3 +64,23 @@ def test_whole_stage_codegen_active(spark):
     # codegen witness is the scan+filter stage
     q = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 30")
     assert "*(" in _plan(q)  # Spark marks codegen'd stages with *(n)
+
+
+def test_ngram_jaccard_no_unbounded_shingle_selfjoin(spark):
+    """VERDICT r1 item 2 'done' criterion: candidate pairs must come from
+    capped MinHash band buckets — the plan must contain NO exchange
+    hash-partitioned on the shingle hash alone (the signature of the old
+    `ds a JOIN ds b ON a.sh = b.sh` scale-killer; one hot shingle shared
+    by 10^6 docs would make that join quadratic)."""
+    import re
+
+    from eynollah_spark.queries import load_views, registry
+
+    load_views(spark, SF_DIR, "documents")
+    q = registry()["dedup_ngram_jaccard"]
+    p = spark.sql(q["spark_sql"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    assert re.search(r"hashpartitioning\(sh#\d+[LstringbigN ]*, \d+\)", p) is None, \
+        "found an exchange keyed on the raw shingle hash alone"
+    # and the SQL itself draws candidates from the capped band buckets
+    assert "pairs" in q["spark_sql"] and "BETWEEN 2 AND" in q["spark_sql"]
