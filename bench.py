@@ -28,8 +28,10 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".cache")
 HEADLINE = ("tpch_q1_pricing", "tpch_q3_topk", "dedup_minhash_bands",
-            "dedup_exact", "sim_topk_cosine", "events_sessionize",
-            "events_hourly_window", "ro_line_sort", "extract_reading_order")
+            "dedup_minhash_sig", "dedup_simhash_neardup",
+            "dedup_embedding_neardup", "dedup_exact", "sim_topk_cosine",
+            "events_sessionize", "events_hourly_window", "ro_line_sort",
+            "extract_reading_order")
 
 
 def log(msg):
@@ -84,7 +86,7 @@ def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
     env = dict(os.environ, PYTHONPATH=REPO)
     if spark_submit:
         cmd = [spark_submit, "--master", f"local[{cpus}]",
-               "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+               "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
                # tmpfs shuffle dirs (see session.py): must be a JVM-launch
                # conf under spark-submit, builder config is too late
                "--conf", "spark.local.dir=" + os.environ.get(
@@ -115,8 +117,11 @@ def update_bench_md(res: dict):
         "|---|---|---|---|",
     ]
     for lv in res["levels"]:
+        walls = lv.get("extract_all_jvm_walls", [])
+        trials = lv.get("extract_trials_sec", [])
         lines.append(f"| local[{lv['cpus']}] | {lv['extract_wall_sec']} | "
                      f"{lv['docs_per_sec']} | {lv['spans_per_sec']} |")
+        lines.append(f"|  ↳ per-JVM best walls {walls}, winning JVM trials {trials} | | | |")
     ctrl = res.get("control_bare_kernel_docs_per_sec", {})
     lines += [
         "",
@@ -229,8 +234,10 @@ def main():
     lo = max(2, cpus // 4)
     n_jvm = int(os.environ.get("SPARK_GRAFT_BENCH_JVMS", "2"))
     for c in (lo, cpus):
-        # JVM-to-JVM variance on this box is ~2x: take the best JVM
-        runs = [run_worker(c, corpus, None, "", zip_path) for _ in range(n_jvm)]
+        # JVM-to-JVM variance on this box is ~2x: take the best JVM, and
+        # min-of-2 trials inside each JVM (trial 1 warms JIT/codegen)
+        runs = [run_worker(c, corpus, None, "", zip_path, trials=2)
+                for _ in range(n_jvm)]
         best = min(runs, key=lambda r: r["extract_wall_sec"])
         best["extract_all_jvm_walls"] = [r["extract_wall_sec"] for r in runs]
         pre = run_worker(c, corpus, None, "", zip_path, presorted=True)

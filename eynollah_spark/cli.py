@@ -40,6 +40,18 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--nested", action="store_true")
 
+    p = sub.add_parser("binarize", help="F2: B8 binarization over a media table")
+    p.add_argument("--input", required=True, help="media parquet (MEDIA_SCHEMA)")
+    p.add_argument("--output", required=True)
+
+    p = sub.add_parser("enhance", help="F3: B7 enhancement over a media table")
+    p.add_argument("--input", required=True, help="media parquet (MEDIA_SCHEMA)")
+    p.add_argument("--output", required=True)
+
+    p = sub.add_parser("page-xml", help="A5: extract + write PAGE-XML files")
+    p.add_argument("--input", required=True, help="flat span parquet")
+    p.add_argument("--output", required=True, help="directory for <doc_id>.xml")
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -74,6 +86,23 @@ def main(argv=None):
             out = nest_corpus(flat) if args.nested else flat
             out.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"ok": True, "n_docs": args.n_docs, "output": args.output}))
+        elif args.cmd in ("binarize", "enhance"):
+            from eynollah_spark import multimodal
+
+            media = spark.read.parquet(args.input)
+            fn = multimodal.binarize if args.cmd == "binarize" else multimodal.enhance
+            fn(media).write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"ok": True, "output": args.output}))
+        elif args.cmd == "page-xml":
+            from eynollah_spark.pagexml import (attach_geometry, to_pagexml_df,
+                                                write_pagexml_dir)
+            from eynollah_spark.pipeline import extract_flat_input
+
+            flat = spark.read.parquet(args.input)
+            out = extract_flat_input(flat)
+            xml_df = to_pagexml_df(attach_geometry(out, flat))
+            write_pagexml_dir(xml_df, args.output)
+            print(json.dumps({"ok": True, "output": args.output}))
     finally:
         spark.stop()
 

@@ -731,6 +731,15 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
                     if lo + 2.0 < (sy0 + sy1) / 2.0 < hi - 2.0
                     and sx0 <= cxa + 0.25 * colw and sx1 >= cxb - 0.25 * colw
                 })
+                # vertical dedup (utils/__init__.py:36-161): double-rule
+                # separators print as two parallel lines a few px apart —
+                # they are ONE reading-order cut
+                if len(cuts) > 1:
+                    dd = [cuts[0]]
+                    for y in cuts[1:]:
+                        if y - dd[-1] > 8.0:
+                            dd.append(y)
+                    cuts = dd
             ys = [lo] + cuts + [hi]
             for ya, yb in zip(ys[:-1], ys[1:]):
                 boxes.append((cxa, cxb, ya, yb))

@@ -115,3 +115,86 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
              "duration_ms": 4000 if kind == "video" else 0},
         ))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- B8 binarization / B7 enhancement hooks (F2/F3 CLI surfaces) -------------
+
+BINARIZE_SCHEMA = ("media_ref string, threshold double, fg_ratio double, "
+                   "payload binary")
+ENHANCE_SCHEMA = ("media_ref string, gamma double, contrast double, "
+                  "num_col_hint int, payload binary")
+
+
+def binarize(media: DataFrame) -> DataFrame:
+    """B8 (`eynollah binarization`, SURVEY F2): the reference runs the
+    sbb_binarize CNN over page rasters (eynollah.py:598-621 model hook);
+    here the pluggable batch kernel computes an Otsu-style threshold and
+    foreground ratio per payload and emits the binarized payload. Codec
+    is the deterministic fake (EYNOLLAH_SPARK_FAKE_DECODE) — a real
+    binarization model drops into the same Arrow-batched slot."""
+    fake = os.environ.get("EYNOLLAH_SPARK_FAKE_DECODE", "1") == "1"
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real binarization requires cv2 + model weights; "
+                    "set EYNOLLAH_SPARK_FAKE_DECODE=1")
+            rows = [_fake_decode(p) for p in pdf["payload"]]
+            luma = np.array([r[3] for r in rows])
+            thr = np.round(luma * 0.7 + 32.0, 3)          # Otsu stand-in
+            fg = np.round(np.clip(luma / 255.0, 0, 1), 4)  # fg pixel ratio
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"].to_numpy(),
+                "threshold": thr,
+                "fg_ratio": fg,
+                "payload": [hashlib.sha256(b"bin" + (p or b"")).digest()
+                            for p in pdf["payload"]],
+            })
+
+    from eynollah_spark.packaging import ensure_distributed
+
+    ensure_distributed(media.sparkSession)
+    p = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return media.repartition(p, F.xxhash64("media_ref")).mapInPandas(
+        kernel, schema=BINARIZE_SCHEMA)
+
+
+def enhance(media: DataFrame) -> DataFrame:
+    """B7 (`eynollah enhancement`, SURVEY F3): the reference's
+    resize-and-enhance CNN (eynollah.py:371-439) estimates column count
+    and emits an enhanced raster; the symbolic batch kernel estimates
+    gamma/contrast from the decoded stats and a num_col hint from the
+    fake-decoded aspect ratio. Same pluggable-model slot as binarize."""
+    fake = os.environ.get("EYNOLLAH_SPARK_FAKE_DECODE", "1") == "1"
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real enhancement requires cv2 + model weights; "
+                    "set EYNOLLAH_SPARK_FAKE_DECODE=1")
+            rows = [_fake_decode(p) for p in pdf["payload"]]
+            w = np.array([r[0] for r in rows], dtype=float)
+            h = np.array([r[1] for r in rows], dtype=float)
+            luma = np.array([r[3] for r in rows])
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"].to_numpy(),
+                "gamma": np.round(1.0 + (128.0 - luma) / 512.0, 4),
+                "contrast": np.round(1.0 + np.abs(luma - 128.0) / 256.0, 4),
+                "num_col_hint": np.clip((w / np.maximum(h, 1.0) * 1.5)
+                                        .astype(np.int32), 1, 6),
+                "payload": [hashlib.sha256(b"enh" + (p or b"")).digest()
+                            for p in pdf["payload"]],
+            })
+
+    from eynollah_spark.packaging import ensure_distributed
+
+    ensure_distributed(media.sparkSession)
+    p = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return media.repartition(p, F.xxhash64("media_ref")).mapInPandas(
+        kernel, schema=ENHANCE_SCHEMA)

@@ -272,6 +272,89 @@ GROUP BY t.doc_id, t.tab_id, t.ty0, t.ty1
 # C15 (eynollah.py:1336-1458): extend table y-range across crossing
 # horizontal separators -> min/max extent aggregation over an overlap join.
 
+_both("ro_table_split", ("documents",), lambda d: """
+WITH cells AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 3 = 0 AND i >= 3 THEN 700 + (i - 3) * 60
+              ELSE 100 + i * 60 END AS x0
+  FROM (SELECT doc_id, {gen} AS i FROM documents)
+),
+tbl AS (
+  SELECT doc_id, MIN(x0) - 10 AS tx0, MAX(x0) + 60 AS tx1,
+         40 AS ty0, 110 AS ty1
+  FROM cells GROUP BY doc_id
+),
+j AS (
+  SELECT c.doc_id, c.x0, c.x0 + 50 AS x1, t.tx0, t.tx1, t.ty0, t.ty1,
+         MAX(c.x0 + 50) OVER (PARTITION BY c.doc_id ORDER BY c.x0
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM cells c JOIN tbl t ON c.doc_id = t.doc_id
+),
+stats AS (
+  SELECT doc_id, MAX(tx0) AS tx0, MAX(tx1) AS tx1,
+         SUM((x1 - x0) * 20.0) / ((MAX(tx1) - MAX(tx0)) * (MAX(ty1) - MAX(ty0))) AS coverage
+  FROM j GROUP BY doc_id
+),
+gaps AS (
+  SELECT doc_id, x0 - prev AS gap, (x0 + prev) / 2.0 AS cut,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY (x0 - prev) DESC, x0 DESC) AS rk
+  FROM j WHERE prev IS NOT NULL
+),
+decided AS (
+  SELECT s.doc_id, s.tx0, s.tx1, s.coverage, g.gap, g.cut,
+         CASE WHEN s.coverage < 0.8 AND g.gap >= 0.25 * (s.tx1 - s.tx0)
+              THEN 1 ELSE 0 END AS do_split
+  FROM stats s JOIN gaps g ON g.doc_id = s.doc_id AND g.rk = 1
+)
+SELECT doc_id, 0 AS piece, CAST(tx0 AS DOUBLE) AS px0,
+       CAST(CASE WHEN do_split = 1 THEN cut ELSE tx1 END AS DOUBLE) AS px1
+FROM decided
+UNION ALL
+SELECT doc_id, 1 AS piece, CAST(cut AS DOUBLE) AS px0, CAST(tx1 AS DOUBLE) AS px1
+FROM decided WHERE do_split = 1
+""".format(gen="explode(sequence(0, 5))" if d == "spark" else "unnest(range(0, 6))"))
+# C15 IoU-based table split (eynollah.py:1246-1316): a table bbox whose
+# contained content covers < 80% and shows an x-gap >= 25% of its width
+# splits at the widest gap midpoint (relational twin of
+# eynollah_spark.tables.split_wide_tables; every 3rd synthesized doc
+# carries a merged-tables bbox and must split).
+
+_both("ro_region_skew", ("documents",), lambda d: f"""
+WITH {_lines_cte(d)},
+la AS (
+  SELECT doc_id, col AS region, line_id,
+         CAST(60 + (doc_id*7 + line_id*13) % 120 AS DOUBLE) AS w,
+         CAST(12 + (line_id % 4) AS DOUBLE) AS h,
+         CAST(((doc_id*11 + line_id*7) % 9) - 4 AS DOUBLE) AS angle
+  FROM lines
+),
+u1 AS (SELECT * FROM la WHERE w > 2.5 * h),
+m1 AS (SELECT doc_id, region, MEDIAN(w) AS wmed FROM u1 GROUP BY doc_id, region),
+u2 AS (
+  SELECT u1.doc_id, u1.region, u1.w, u1.angle FROM u1
+  JOIN m1 ON u1.doc_id = m1.doc_id AND u1.region = m1.region
+  WHERE u1.w / m1.wmed BETWEEN 0.67 AND 1.33
+),
+m2 AS (SELECT doc_id, region, MEDIAN(angle) AS amed FROM u2 GROUP BY doc_id, region),
+u3 AS (
+  SELECT u2.doc_id, u2.region, u2.angle, ABS(u2.angle - m2.amed) AS adev
+  FROM u2 JOIN m2 ON u2.doc_id = m2.doc_id AND u2.region = m2.region
+),
+m3 AS (SELECT doc_id, region, MEDIAN(adev) AS madev FROM u3 GROUP BY doc_id, region)
+SELECT u3.doc_id, u3.region, ROUND(AVG(u3.angle), 4) AS skew,
+       COUNT(*) AS n_used
+FROM u3 JOIN m3 ON u3.doc_id = m3.doc_id AND u3.region = m3.region
+WHERE u3.adev <= 2 * m3.madev
+GROUP BY u3.doc_id, u3.region
+""")
+# C7 per-region skew (utils/contour.py:393-439) as the robust group agg
+# SURVEY mapped it to: aspect filter (w > 2.5h), length-outlier filter
+# (0.67..1.33 x median width), angle-outlier filter (dev <= 2 x median
+# abs deviation), then mean. The reference's +-90deg wraparound branch
+# only matters for near-vertical text; symbolic spans are near-horizontal
+# so it is out of domain here.
+
 _both("ro_resume_antijoin", ("documents",), lambda d: f"""
 WITH manifest AS (SELECT doc_id FROM documents WHERE doc_id % 7 < 2)
 SELECT d.doc_id FROM documents d
@@ -545,7 +628,11 @@ SELECT doc_id,
              / (length(text) + 1), 4) AS token_density,
        ROUND(CAST(length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', ''))
              AS DOUBLE) / (length(text) + 1), 4) AS punct_ratio,
-       CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END AS len_ok
+       CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END AS len_ok,
+       ROUND(CAST({"size(filter(split(text, ' '), w -> w IN ('the','and','of','to','a','in','is','that','der','die','das','und')))"
+                   if d == "spark" else
+                   "len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a','in','is','that','der','die','das','und')))"}
+             AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS stopword_ratio
 FROM documents
 """)
 
@@ -564,9 +651,15 @@ FROM votes
 _both("text_token_count", ("documents",), lambda d: f"""
 SELECT doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS ws_tokens,
-       CAST(CEIL(length(text) / 4.0) AS INT) AS bpe_est
+       CAST(CEIL(length(text) / 4.0) AS INT) AS bpe_est,
+       CAST({"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+             if d == "spark" else
+             "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"}
+            AS INT) AS bpe_regex_tokens
 FROM documents
 """)
+# token counting: whitespace, length/4 BPE estimate, and a BPE-ish
+# regex tokenizer (word / number / symbol pieces).
 
 _both("text_fingerprint", ("documents",), lambda d: f"""
 WITH {_shingles_cte(d)}

@@ -165,3 +165,24 @@ def test_onnx_scorer_is_gated():
         OnnxScorer(_BC()).score_batch(pd.DataFrame({
             "kind": ["text"], "x0": [0], "x1": [10], "y0": [0], "y1": [10],
             "width": [100], "height": [100]}))
+
+
+def test_binarize_enhance_kernels(spark):
+    """B7/B8 hooks (F2/F3 CLI surfaces): deterministic batch kernels over
+    the media table — real Arrow plumbing, stubbed codec."""
+    from eynollah_spark.multimodal import binarize, enhance, synth_media_table
+
+    media = synth_media_table(spark, 24).cache()
+    b = binarize(media)
+    rows = b.collect()
+    assert len(rows) == 24
+    assert all(0 <= r["fg_ratio"] <= 1 and r["threshold"] > 0 for r in rows)
+    assert all(r["payload"] is not None for r in rows)
+    e = enhance(media).collect()
+    assert len(e) == 24
+    assert all(1 <= r["num_col_hint"] <= 6 for r in e)
+    assert all(0.5 < r["gamma"] < 1.5 for r in e)
+    # determinism: second run bitwise-identical
+    b2 = {r["media_ref"]: (r["threshold"], r["fg_ratio"]) for r in binarize(media).collect()}
+    assert {r["media_ref"]: (r["threshold"], r["fg_ratio"]) for r in rows} == b2
+    media.unpersist()
