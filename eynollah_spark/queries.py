@@ -453,12 +453,19 @@ def _minhash_pairs_cte(d, src="docs_nd", cap=64):
     mins = ",\n         ".join(
         f"MIN(({_mh_a(i)} * (sh % {_MH_P}) + {_mh_c(i)}) % {_MH_P}) AS m{i}"
         for i in range(_MH_K))
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, {h} AS sig FROM mh".format(
-            b=b,
-            h=_hash32(d, "CONCAT_WS(',', " + ", ".join(
-                f"CAST(m{8 * b + j} AS {st})" for j in range(8)) + ")"))
-        for b in range(_MH_BANDS))
+    band_sigs = [
+        _hash32(d, "CONCAT_WS(',', " + ", ".join(
+            f"CAST(m{8 * b + j} AS {st})" for j in range(8)) + ")")
+        for b in range(_MH_BANDS)]
+    # unpivot the 16 band signatures in ONE pass over the aggregate —
+    # a 16-way UNION ALL would re-run the 128-min HashAggregate 16x
+    # (Spark inlines CTEs; only the exchange below it gets reused)
+    if d == "spark":
+        sigs = ("SELECT doc_id, posexplode(array(" + ", ".join(band_sigs)
+                + ")) AS (band, sig) FROM mh")
+    else:
+        sigs = ("SELECT doc_id, unnest(range(0, 16)) AS band, unnest(["
+                + ", ".join(band_sigs) + "]) AS sig FROM mh")
     return f"""{_shingles_cte(d, src)},
 ds AS (SELECT DISTINCT doc_id, sh FROM shingles),
 mh AS (
@@ -467,7 +474,7 @@ mh AS (
   FROM ds GROUP BY doc_id
 ),
 sigs AS (
-{band_selects}
+  {sigs}
 ),
 capped AS (
   SELECT doc_id, band, sig FROM (
