@@ -53,7 +53,8 @@ def estimate_skew(cx, cy, w, h, width, height, max_angle_deg: float = 6.0) -> fl
     n = len(cx)
     if n < 8:
         return 0.0
-    bin_w = max(3.0, float(np.median(h)) * 0.4)
+    from eynollah_spark.kernels.layout import _med
+    bin_w = max(3.0, _med(h) * 0.4)
     ox, oy = width / 2.0, height / 2.0
 
     def _best(angles):

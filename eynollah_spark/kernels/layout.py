@@ -82,27 +82,54 @@ class DocSpans:
 
 # ---------------------------------------------------------------- profiles ---
 
+def _med(a):
+    """np.median for 1-D arrays without its dispatch overhead (the kernel
+    calls medians ~6x per document; np.median costs ~65us per call on
+    small arrays). Identical semantics: mean of the two middle order
+    statistics."""
+    a = np.asarray(a, dtype=float)
+    n = a.size
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return float(a[0])
+    i, j = (n - 1) // 2, n // 2
+    b = np.partition(a, (i, j))
+    return 0.5 * (float(b[i]) + float(b[j]))
+
+
 def coverage_profile(x0, x1, weights, width, bins=1024):
     """Weighted x-coverage histogram (the symbolic 'column sum' of the
     text mask, cf. utils/__init__.py:277-279)."""
     bins = int(min(max(int(width), 8), bins))
     scale = bins / float(width)
+    w = np.asarray(weights, dtype=float)
     lo = np.clip((np.asarray(x0) * scale).astype(np.int64), 0, bins - 1)
     hi = np.clip((np.asarray(x1) * scale).astype(np.int64) + 1, 1, bins)
-    d = np.zeros(bins + 1)
-    np.add.at(d, lo, weights)
-    np.add.at(d, hi, -np.asarray(weights, dtype=float))
+    # difference array via bincount (np.add.at is ~5x slower); summation
+    # order differs from add.at only within equal indices — bincount also
+    # accumulates in input order, so values are bit-identical
+    d = (np.bincount(lo, weights=w, minlength=bins + 1)
+         - np.bincount(hi, weights=w, minlength=bins + 1))
     return np.cumsum(d)[:-1], scale
+
+
+_GAUSS_KERNELS: dict[float, np.ndarray] = {}
 
 
 def gaussian_smooth(p, sigma):
     """1-D gaussian smoothing (cf. scipy gaussian_filter1d use at
-    utils/__init__.py:277, sigma=25 on ~2500px pages)."""
+    utils/__init__.py:277, sigma=25 on ~2500px pages). Kernels are
+    memoized by sigma (constant per page width)."""
     sigma = max(float(sigma), 0.5)
-    r = int(max(1, round(3 * sigma)))
-    t = np.arange(-r, r + 1, dtype=float)
-    k = np.exp(-0.5 * (t / sigma) ** 2)
-    k /= k.sum()
+    k = _GAUSS_KERNELS.get(sigma)
+    if k is None:
+        r = int(max(1, round(3 * sigma)))
+        t = np.arange(-r, r + 1, dtype=float)
+        k = np.exp(-0.5 * (t / sigma) ** 2)
+        k /= k.sum()
+        if len(_GAUSS_KERNELS) < 4096:
+            _GAUSS_KERNELS[sigma] = k
     return np.convolve(p, k, mode="same")
 
 
@@ -145,22 +172,19 @@ def _find_peaks(y, min_distance):
 
 def _prominences(y, peaks):
     """Prominence per peak (walk until a higher value on each side; min
-    along the way is the base) — only invoked for the few qualifying
-    valley candidates, so the per-peak walk is cheap."""
+    along the way is the base). Vectorized per peak: the walk boundary is
+    the nearest strictly-higher sample, the base is the min of the walked
+    slice — identical values to the elementwise walk."""
     n = len(y)
     prom = np.empty(len(peaks))
     for k, p in enumerate(peaks):
         lv = y[p]
-        lmin = lv
-        i = p - 1
-        while i >= 0 and y[i] <= lv:
-            lmin = min(lmin, y[i])
-            i -= 1
-        rmin = lv
-        i = p + 1
-        while i < n and y[i] <= lv:
-            rmin = min(rmin, y[i])
-            i += 1
+        gt = np.flatnonzero(y[:p] > lv)
+        left = int(gt[-1]) + 1 if len(gt) else 0
+        lmin = min(lv, float(y[left:p].min())) if p > left else lv
+        gt = np.flatnonzero(y[p + 1:] > lv)
+        right = p + 1 + int(gt[0]) if len(gt) else n
+        rmin = min(lv, float(y[p + 1:right].min())) if right > p + 1 else lv
         prom[k] = lv - max(lmin, rmin)
     return prom
 
@@ -346,7 +370,7 @@ def _dedupe_splitters(ys, height):
 
 
 def find_splitters(tx0, tx1, ty0, ty1, hseps, width, height, main_lo, main_hi,
-                   vseps=(), vsep_cx=()):
+                   vseps=(), vsep_cx=(), band_gutters_out=None):
     """y-positions that split the page into XY-cut bands — two passes,
     mirroring the reference's per-part re-analysis (D2 re-runs
     find_num_col per splitter part, utils/__init__.py:1444-1487).
@@ -393,6 +417,11 @@ def find_splitters(tx0, tx1, ty0, ty1, hseps, width, height, main_lo, main_hi,
         vband = [v for v, (vy0, vy1) in zip(vsep_cx, vseps)
                  if min(vy1, hi) - max(vy0, lo) >= 0.3 * max(min(vy1 - vy0, hi - lo), 1.0)]
         g = find_gutters(tx0[m], tx1[m], ty0[m], ty1[m], width, vsep_cx=vband)
+        if band_gutters_out is not None:
+            # bands that survive into the final splitter list unchanged
+            # reuse this gutter analysis in the D4 box loop (same inputs
+            # -> same outputs; saves a third of find_gutters calls)
+            band_gutters_out[(lo, hi)] = g
         idx = np.flatnonzero(m)
         if g:
             sm = spanning_lines(tx0[m], tx1[m], g, width)
@@ -535,7 +564,7 @@ def order_lines_in_region(cx, cy, rtl, off=None):
     scy = np.sort(cy)
     d = np.diff(scy)
     pos = d[d > 1e-9]
-    pitch = float(np.median(pos)) if len(pos) else float("inf")
+    pitch = _med(pos) if len(pos) else float("inf")
     rows = _row_cluster(cy, pitch / _LINE_ROW_DIV)
     xkey = -cx if rtl else cx
     if off is None:
@@ -689,9 +718,11 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
     boff = off[body_ix]
 
     # band splitters (D2, two-pass per-band analysis)
+    band_gutters: dict = {}
     splitters = find_splitters(bx0, bx1, by0, by1, hseps, W, H,
                                main_lo, main_hi,
-                               vseps=vsep_boxes, vsep_cx=vsep_cx)
+                               vseps=vsep_boxes, vsep_cx=vsep_cx,
+                               band_gutters_out=band_gutters)
 
     # D4: boxes per band, columns left->right (RTL flips, :1522-1524,1866-1879).
     # Per-column recursion (utils/__init__.py:1794-1864): a PARTIAL-width
@@ -709,10 +740,12 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
         in_band = (bcy >= lo) & (bcy < hi)
         if not in_band.any():
             continue
-        vband = [v for v, (vy0, vy1) in zip(vsep_cx, vsep_boxes)
-                 if min(vy1, hi) - max(vy0, lo) >= 0.3 * max(min(vy1 - vy0, hi - lo), 1.0)]
-        g = find_gutters(bx0[in_band], bx1[in_band], by0[in_band], by1[in_band], W,
-                         vsep_cx=vband)
+        g = band_gutters.get((lo, hi))
+        if g is None:
+            vband = [v for v, (vy0, vy1) in zip(vsep_cx, vsep_boxes)
+                     if min(vy1, hi) - max(vy0, lo) >= 0.3 * max(min(vy1 - vy0, hi - lo), 1.0)]
+            g = find_gutters(bx0[in_band], bx1[in_band], by0[in_band], by1[in_band], W,
+                             vsep_cx=vband)
         ex0, ex1 = float(bx0[in_band].min()), float(bx1[in_band].max())
         edges = [ex0] + [x for x in g if ex0 < x < ex1] + [ex1]
         cols = list(zip(edges[:-1], edges[1:]))
@@ -792,7 +825,7 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
         if len(rs) == 0:
             continue
         heights = ry1[rs] - ry0[rs]
-        thr = max(8.0, _ROW_THR_FRAC * float(np.median(heights)))
+        thr = max(8.0, _ROW_THR_FRAC * _med(heights))
         rows = _row_cluster(rcy[rs], thr)
         xkey = -rcx[rs] if rtl else rcx[rs]
         order_regions.extend(rs[np.lexsort((roff[rs], rcy[rs], xkey, rows))].tolist())
