@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".cache")
 HEADLINE = ("tpch_q1_pricing", "tpch_q3_topk", "dedup_minhash_bands",
             "dedup_minhash_sig", "dedup_simhash_neardup",
-            "dedup_embedding_neardup", "dedup_exact", "sim_topk_cosine",
+            "dedup_embedding_neardup", "dedup_exact", "sim_topk_cosine", "sim_ann_topk",
             "events_sessionize", "events_hourly_window", "ro_line_sort",
             "extract_reading_order")
 
@@ -234,10 +234,13 @@ def main():
     lo = max(2, cpus // 4)
     n_jvm = int(os.environ.get("SPARK_GRAFT_BENCH_JVMS", "2"))
     for c in (lo, cpus):
-        # JVM-to-JVM variance on this box is ~2x: take the best JVM, and
-        # min-of-2 trials inside each JVM (trial 1 warms JIT/codegen)
-        runs = [run_worker(c, corpus, None, "", zip_path, trials=2)
-                for _ in range(n_jvm)]
+        # This sandbox is a Firecracker microVM: co-tenant CPU steal makes
+        # identical runs land anywhere in a ~13-50s band at 32 cores
+        # (bimodal, whole JVMs slow). Defense is samples: best JVM of
+        # several, min-of-trials inside each (trial 1 also warms JIT).
+        jvms = max(n_jvm, 3) if c == cpus else n_jvm
+        runs = [run_worker(c, corpus, None, "", zip_path, trials=3 if c == cpus else 2)
+                for _ in range(jvms)]
         best = min(runs, key=lambda r: r["extract_wall_sec"])
         best["extract_all_jvm_walls"] = [r["extract_wall_sec"] for r in runs]
         pre = run_worker(c, corpus, None, "", zip_path, presorted=True)

@@ -790,6 +790,53 @@ WHERE {cos} >= 0.9
 """
 
 
+def _cos_expr(d, a, b):
+    if d == "duck":
+        return f"list_cosine_similarity({a}, {b})"
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" / (SQRT(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+            f" * SQRT(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))")
+
+
+def _ann_topk_sql(d):
+    base_v = ("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x)" if d == "spark"
+              else "embedding::DOUBLE[]")
+    tabs = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS t, {_rh_bucket_expr(d, t)} AS bucket FROM emb"
+        for t in range(_LSH_TABLES))
+    cos = _cos_expr(d, "eq.v", "ev.v")
+    return f"""
+WITH emb AS (SELECT vec_id, {base_v} AS v FROM embeddings),
+tabs AS (
+{tabs}
+),
+q AS (SELECT vec_id, t, bucket FROM tabs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, tb.vec_id
+  FROM q JOIN tabs tb ON q.t = tb.t AND q.bucket = tb.bucket AND tb.vec_id != q.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, {cos} AS sim
+  FROM cand c JOIN emb eq ON eq.vec_id = c.query_id
+              JOIN emb ev ON ev.vec_id = c.vec_id
+)
+SELECT query_id, CAST(rk AS INT) AS rk, vec_id, ROUND(sim, 3) AS sim
+FROM (SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 5
+"""
+
+
+_both("sim_ann_topk", ("embeddings",), _ann_topk_sql)
+# approximate-nearest-neighbor SEARCH (the 100 TB path next to the
+# brute-force sim_topk_cosine baseline): each query probes only its own
+# buckets across the 4 random-hyperplane LSH tables; exact cosine is
+# computed on probed candidates only, top-5 per query. ANN recall vs the
+# exact baseline depends on the tables — both engines compute the same
+# deterministic candidate set, so the oracle comparison is exact.
+
+
 _both("dedup_embedding_neardup", ("embeddings",), _emb_nd_sql)
 # embedding-cosine near-dup, scale-safe shape (VERDICT r1 items 3/4):
 # FOUR random-hyperplane LSH tables (8 sparse sign bits each) instead of
