@@ -67,6 +67,26 @@ def salted_repartition(df: DataFrame, partitions: int, heavy_quantile: float = H
     return out.drop("_n")
 
 
+def filter_printspace(flat: DataFrame, frame=None,
+                      margin_frac: float = 0.02) -> DataFrame:
+    """B9 page-frame / printspace filter (extract_text_regions page-frame
+    model + crop, eynollah.py:318-401): drop spans whose center falls
+    outside the printspace box. `frame` is (x0, x1, y0, y1) absolute, or
+    None to derive it per page from the page dims shrunk by margin_frac
+    (the model-free default). Pure column predicates — evaluated inside
+    the scan stage's codegen filter, no shuffle, no Python."""
+    cx = (F.col("x0") + F.col("x1")) / 2
+    cy = (F.col("y0") + F.col("y1")) / 2
+    if frame is not None:
+        fx0, fx1, fy0, fy1 = (F.lit(float(v)) for v in frame)
+    else:
+        fx0 = margin_frac * F.col("width")
+        fx1 = (1 - margin_frac) * F.col("width")
+        fy0 = margin_frac * F.col("height")
+        fy1 = (1 - margin_frac) * F.col("height")
+    return flat.filter((cx >= fx0) & (cx <= fx1) & (cy >= fy0) & (cy <= fy1))
+
+
 def flatten(df: DataFrame) -> DataFrame:
     """Nested documents -> one row per span (narrow op). Keeps doc meta on
     every row; empty documents keep a single null-span row

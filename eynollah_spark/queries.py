@@ -355,6 +355,27 @@ GROUP BY u3.doc_id, u3.region
 # only matters for near-vertical text; symbolic spans are near-horizontal
 # so it is out of domain here.
 
+_both("ro_printspace_filter", ("documents",), lambda d: f"""
+WITH {_lines_cte(d)},
+frame AS (
+  SELECT doc_id,
+         CAST(80 + doc_id % 7 AS INT)    AS fx0,
+         CAST(880 - doc_id % 11 AS INT)  AS fx1,
+         CAST(85 + doc_id % 10 AS INT)   AS fy0,
+         CAST(700 - doc_id % 13 AS INT)  AS fy1
+  FROM documents
+)
+SELECT l.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(CASE WHEN l.cx BETWEEN f.fx0 AND f.fx1
+                 AND l.cy BETWEEN f.fy0 AND f.fy1 THEN 0 ELSE 1 END) AS BIGINT) AS n_outside
+FROM lines l JOIN frame f ON l.doc_id = f.doc_id
+GROUP BY l.doc_id
+""")
+# B9 page-frame / printspace filter (eynollah.py:318-401): count spans
+# outside a synthesized per-page printspace box — the relational twin of
+# pipeline.filter_printspace (pure pushed-down column predicates).
+
 _both("ro_resume_antijoin", ("documents",), lambda d: f"""
 WITH manifest AS (SELECT doc_id FROM documents WHERE doc_id % 7 < 2)
 SELECT d.doc_id FROM documents d

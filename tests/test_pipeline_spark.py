@@ -93,3 +93,23 @@ def test_manifest_resume(spark, corpus, tmp_path_factory):
     assert _mismatches(got.drop("part"), expected_spark(corpus)) == 0
     docs.unpersist()
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_filter_printspace(spark):
+    """B9: spans outside the page frame are dropped before the kernel."""
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pipeline import filter_printspace
+
+    flat = corpus_flat_spark(spark, 40).drop("expected_kind", "expected_rank") \
+        .filter(F.col("offset") >= 0).cache()
+    n0 = flat.count()
+    # default margins: everything the generator lays out is inside
+    assert filter_printspace(flat).count() == n0
+    # a tight explicit frame drops border spans
+    kept = filter_printspace(flat, frame=(200, 900, 150, 800)).count()
+    assert 0 < kept < n0
+    # the plan is a pure scan+filter (no exchange, no python)
+    plan = filter_printspace(flat, frame=(200, 900, 150, 800)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    flat.unpersist()
