@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--n-parts", type=int, default=8)
 
+    p = sub.add_parser("full-layout", help="F1 --full-layout: extract + refine + adhere")
+    p.add_argument("--input", required=True, help="flat span parquet")
+    p.add_argument("--output", required=True)
+
     p = sub.add_parser("extract-images", help="B17: image spans only")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -86,6 +90,12 @@ def main(argv=None):
             out = nest_corpus(flat) if args.nested else flat
             out.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"ok": True, "n_docs": args.n_docs, "output": args.output}))
+        elif args.cmd == "full-layout":
+            from eynollah_spark.pipeline import extract_full_layout
+
+            flat = spark.read.parquet(args.input)
+            extract_full_layout(flat).write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"ok": True, "output": args.output}))
         elif args.cmd in ("binarize", "enhance"):
             from eynollah_spark import multimodal
 

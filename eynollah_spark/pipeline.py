@@ -439,3 +439,25 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
         f = f.repartition(partitions, F.xxhash64("doc_id"))
     f = f.sortWithinPartitions("doc_id", "offset")
     return f.mapInArrow(make_arrow_kernel(fail_fast=fail_fast), schema=FLAT_OUT_SCHEMA)
+
+
+def extract_full_layout(flat: DataFrame, partitions: int | None = None,
+                        scorer=None, fail_fast: bool = True) -> DataFrame:
+    """F1 `--full-layout` mode parity: the complete post-kernel chain —
+    XY-cut extraction -> geometry re-attach -> scorer kind refinement
+    (headings, drop capitals; B12/C12/C13) -> C14 drop-capital adhesion.
+    C15 table splitting (tables.split_wide_tables) runs BEFORE extraction
+    since it rewrites input spans.
+
+    Returns ordered flat rows WITH geometry (ready for the PAGE-XML
+    writer). Every stage is a relational plan or an Arrow-batched kernel;
+    shuffles stay on doc_id-derived keys throughout."""
+    from eynollah_spark.pagexml import attach_geometry
+    from eynollah_spark.scorer import adhere_drop_capitals, refine_kinds
+    from eynollah_spark.tables import split_wide_tables
+
+    flat = split_wide_tables(flat)
+    out = extract_flat_input(flat, partitions=partitions, fail_fast=fail_fast)
+    rows = attach_geometry(out, flat)
+    refined = refine_kinds(rows, scorer=scorer)
+    return adhere_drop_capitals(refined)

@@ -113,3 +113,25 @@ def test_filter_printspace(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
     flat.unpersist()
+
+
+def test_extract_full_layout_chain(spark):
+    """F1 --full-layout parity: table split + extraction + kind
+    refinement + drop-capital adhesion compose into ordered rows with
+    geometry, ord a clean 0..n-1 per doc."""
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pipeline import extract_full_layout
+
+    flat = corpus_flat_spark(spark, 30).drop("expected_kind", "expected_rank")
+    out = extract_full_layout(flat, partitions=4).cache()
+    assert out.count() > 0
+    assert {"doc_id", "ord", "kind", "text", "offset", "x0", "y1"} <= set(out.columns)
+    from pyspark.sql import Window as W
+    bad = (out.withColumn(
+        "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("ord")) - 1)
+        .filter(F.col("rk") != F.col("ord")).count())
+    assert bad == 0
+    kinds = {r["kind"] for r in out.select("kind").distinct().collect()}
+    assert kinds <= {"text", "heading", "drop-capital", "marginalia",
+                     "image", "separator", "table"}
+    out.unpersist()
