@@ -689,6 +689,23 @@ FROM documents
 # token counting: whitespace, length/4 BPE estimate, and a BPE-ish
 # regex tokenizer (word / number / symbol pieces).
 
+_both("text_source_quality", ("documents",), lambda d: """
+WITH per_source AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(CAST(length(text) AS DOUBLE)), 2) AS avg_len,
+         ROUND(AVG(CASE WHEN length(text) BETWEEN 50 AND 5000
+                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS len_ok_rate
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, avg_len, len_ok_rate,
+       CASE WHEN len_ok_rate >= 0.5 AND n_docs >= 3 THEN 1 ELSE 0 END AS keep_source
+FROM per_source
+""")
+# source-level quality gating (standard training-pipeline op: drop
+# whole low-quality sources before per-doc filtering — one aggregate
+# pass, no per-doc work for dropped sources).
+
 _both("text_fingerprint", ("documents",), lambda d: f"""
 WITH {_shingles_cte(d)}
 SELECT doc_id, MIN(sh) AS fingerprint
@@ -749,13 +766,17 @@ _sql_pair("sim_lsh_buckets", ("embeddings",),
 # axis-aligned random-hyperplane LSH: sign bits of the first 8 dims.
 
 _EMB_DIM = 64
-_LSH_TABLES, _LSH_BITS, _LSH_TERMS = 4, 8, 8
+_LSH_TABLES, _LSH_BITS, _LSH_TERMS = 6, 4, 8
 
 
 def _rh_bucket_expr(d, t):
-    """Random-hyperplane LSH bucket for hash table `t`: 8 sign bits, each
-    the sign of a sparse +-1 projection over 8 pseudo-randomly chosen
-    dims (deterministic integer schedule -> identical in both dialects)."""
+    """Random-hyperplane LSH bucket for hash table `t`: _LSH_BITS sign
+    bits, each the sign of a sparse +-1 projection over 8 pseudo-randomly
+    chosen dims (deterministic integer schedule -> identical in both
+    dialects). Table/bit counts are tuned for recall at the fixture's
+    neighbor distances (random unit 64-d vectors: top-5 cosine ~0.2-0.4);
+    a production deployment tunes them to its embedding geometry — the
+    bucket-size caps are what guarantee bounded cost either way."""
     def elem(i):  # 1-based element access
         return f"element_at(v, {i})" if d == "spark" else f"v[{i}]"
 
@@ -852,7 +873,7 @@ WHERE rk <= 5
 _both("sim_ann_topk", ("embeddings",), _ann_topk_sql)
 # approximate-nearest-neighbor SEARCH (the 100 TB path next to the
 # brute-force sim_topk_cosine baseline): each query probes only its own
-# buckets across the 4 random-hyperplane LSH tables; exact cosine is
+# buckets across the 6 random-hyperplane LSH tables; exact cosine is
 # computed on probed candidates only, top-5 per query. ANN recall vs the
 # exact baseline depends on the tables — both engines compute the same
 # deterministic candidate set, so the oracle comparison is exact.
@@ -860,7 +881,7 @@ _both("sim_ann_topk", ("embeddings",), _ann_topk_sql)
 
 _both("dedup_embedding_neardup", ("embeddings",), _emb_nd_sql)
 # embedding-cosine near-dup, scale-safe shape (VERDICT r1 items 3/4):
-# FOUR random-hyperplane LSH tables (8 sparse sign bits each) instead of
+# SIX random-hyperplane LSH tables (4 sparse sign bits each) instead of
 # one static axis-aligned code; candidate pairs only from buckets of
 # size 2..128 (cap: a dense bucket never goes quadratic); exact cosine
 # verified on candidates only. Planted perturbed copies of every 10th

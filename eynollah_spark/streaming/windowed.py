@@ -83,3 +83,18 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def dedup_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per content
+    fingerprint (md5 of normalized text). Works on both batch and
+    streaming inputs (same plan); on a stream the watermark bounds the
+    dedup state — duplicates arriving later than the watermark are the
+    documented at-scale trade-off (exact global dedup needs the batch
+    `dedup_exact` pass). Input needs (doc_id, text, ts)."""
+    df = docs.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+        return df.dropDuplicatesWithinWatermark(["fp"])
+    return df.dropDuplicates(["fp"])

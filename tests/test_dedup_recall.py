@@ -1,0 +1,75 @@
+"""Statistical-strength guards for the dedup/ANN family (VERDICT r1:
+the old 4-value MinHash had a high false-negative rate; these tests pin
+planted-pair recall so a future regression of the signature scheme fails
+loudly). DuckDB-side: the oracle SQL is value-identical to the Spark
+plans (enforced separately by the driver/check_oracle), and DuckDB runs
+in milliseconds — no JVM needed here."""
+
+import duckdb
+import pytest
+
+from eynollah_spark.queries import registry
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _rows(con, name):
+    return con.sql(registry()[name]["duck_sql"]).fetchall()
+
+
+def test_minhash_sig_recall_on_planted_pairs(con):
+    """Every 20th doc has a planted near-duplicate (first word dropped,
+    Jaccard ~0.95+). k=128/b=16/r=8 banding must recover essentially all
+    of them (expected per-band hit rate ~0.95^8≈0.66, miss-all-16-bands
+    probability < 1e-7)."""
+    pairs = {(a, b) for a, b, _ in _rows(con, "dedup_minhash_sig")}
+    n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    planted = {(d, d + 1000000) for d in range(0, n_docs, 20)}
+    found = planted & pairs
+    assert len(found) >= 0.95 * len(planted), (len(found), len(planted))
+
+
+def test_ngram_jaccard_scores_planted_pairs(con):
+    rows = _rows(con, "dedup_ngram_jaccard")
+    planted = [j for a, b, j in rows if b == a + 1000000]
+    assert len(planted) >= 20
+    assert all(j >= 0.8 for j in planted)
+
+
+def test_embedding_neardup_covers_planted_pairs(con):
+    """VERDICT r1 item 3 'done' criterion: >= 20 matching pairs with
+    nonzero rows (the old fixture passed on 0 == 0)."""
+    rows = _rows(con, "dedup_embedding_neardup")
+    planted = [(a, b) for a, b, s in rows if b == a + 1000000 and s >= 0.99]
+    assert len(planted) >= 20
+    # and no random pair sneaks past the 0.9 threshold on these tables
+    assert all(b == a + 1000000 for a, b, _ in rows)
+
+
+def test_simhash_neardup_finds_planted_pairs(con):
+    rows = _rows(con, "dedup_simhash_neardup")
+    assert len(rows) > 0
+    planted = [(a, b) for a, b, h in rows if b == a + 1000000]
+    assert len(planted) >= 10  # dropping one word flips few of 60 bits
+
+
+def test_ann_recall_vs_exact_topk(con):
+    """LSH-probed ANN top-5 vs brute-force top-5: the probed candidate
+    set is deterministic; measure and pin a recall floor so a future
+    hash-table change that collapses recall fails the suite."""
+    exact = {(q, v) for q, _rk, v, _s in _rows(con, "sim_topk_cosine")}
+    ann = {(q, v) for q, _rk, v, _s in _rows(con, "sim_ann_topk")}
+    recall = len(exact & ann) / len(exact)
+    # random unit vectors in 64-d (top-5 cosine only ~0.2-0.4): the
+    # 6x4-bit tables recover ~1/3 of the exact top-5 while probing a
+    # bounded candidate slice — the operator's value is the bounded
+    # cost. Deterministic data -> pin the measured floor.
+    assert recall >= 0.3, recall

@@ -66,3 +66,39 @@ def test_sessionize_stream_matches_batch_window(spark, events_dir):
     diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
     q.stop()
     assert diff == 0
+
+
+def test_dedup_stream_exactly_one_per_fingerprint(spark):
+    """Streaming exact dedup drains a directory of document files and
+    emits exactly one row per content fingerprint; batch twin agrees on
+    the surviving fingerprint set."""
+    import shutil
+    import tempfile
+
+    from eynollah_spark.streaming.windowed import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="dstream_")
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": f"d{i}", "text": f"content {i % 20}",
+                     "ts": f"2026-01-01 00:{i:02d}:00"})
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(f"{base}/in")
+
+    schema = spark.read.parquet(f"{base}/in").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(f"{base}/in"))
+    q = (dedup_stream(stream).writeStream
+         .option("checkpointLocation", f"{base}/ckpt")
+         .trigger(availableNow=True)
+         .format("parquet").option("path", f"{base}/out").start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(f"{base}/out")
+    assert got.count() == 20  # one survivor per distinct content
+    assert got.select("fp").distinct().count() == 20
+    batch_fps = {r["fp"] for r in dedup_stream(
+        spark.read.parquet(f"{base}/in")).select("fp").collect()}
+    stream_fps = {r["fp"] for r in got.select("fp").collect()}
+    assert batch_fps == stream_fps
+    shutil.rmtree(base, ignore_errors=True)
