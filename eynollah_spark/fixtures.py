@@ -69,7 +69,16 @@ def load_fixture(doc_id: str) -> FixtureDoc:
 def parse_pagexml(path: str, doc_id: str, extra_spans=()) -> FixtureDoc:
     """Parse any PAGE-XML file into a FixtureDoc (also used by the
     pagexml-writer round-trip test on files we emit ourselves)."""
-    root = ET.parse(path).getroot()
+    return _parse_pagexml_root(ET.parse(path).getroot(), doc_id, extra_spans)
+
+
+def parse_pagexml_string(xml: str, doc_id: str, extra_spans=()) -> FixtureDoc:
+    """Same as parse_pagexml for an in-memory XML string (used by the
+    distributed round-trip self-check query)."""
+    return _parse_pagexml_root(ET.fromstring(xml), doc_id, extra_spans)
+
+
+def _parse_pagexml_root(root, doc_id: str, extra_spans=()) -> FixtureDoc:
     ns = {"p": re.match(r"\{(.*)\}", root.tag).group(1)}
     page = root.find("p:Page", ns)
     doc = FixtureDoc(

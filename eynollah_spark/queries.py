@@ -1036,6 +1036,54 @@ SELECT CAST(b AS INT) AS bucket, CAST(0 AS BIGINT) AS n_bad
 FROM (SELECT unnest(range(0, 10)) AS b)
 """)
 
+def _pagexml_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 PAGE-XML writer self-check (oracle-by-construction): extract a
+    corpus sample, serialize every document to PAGE-XML, re-parse the XML
+    and require the recovered (kind, text, order) sequence to equal the
+    engine's output for EVERY document. Returns per-bucket mismatch
+    counts; the oracle is the all-zeros table."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pagexml import attach_geometry, to_pagexml_df
+    from eynollah_spark.pipeline import extract_flat_input
+
+    n = max(100, int(20_000 * sf_of(sf_dir)))
+    flat = corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank")
+    out = extract_flat_input(flat)
+    rows = attach_geometry(out, flat)
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        from eynollah_spark.fixtures import parse_pagexml_string
+        from eynollah_spark.pagexml import doc_to_pagexml
+
+        g = g.sort_values("ord")
+        doc_id = g["doc_id"].iloc[0]
+        xml = doc_to_pagexml(
+            doc_id, g["width"].iloc[0], g["height"].iloc[0],
+            g["kind"].tolist(), g["text"].tolist(), g["media_ref"].tolist(),
+            g["offset"].tolist(), g["x0"].tolist(), g["x1"].tolist(),
+            g["y0"].tolist(), g["y1"].tolist())
+        try:
+            back = parse_pagexml_string(xml, doc_id)
+            got = [(k, t) for (k, t, _m, _o) in back.expected]
+            want = list(zip(g["kind"], [None if pd.isna(t) else t for t in g["text"]]))
+            bad = 0 if got == want else 1
+        except Exception:
+            bad = 1
+        return pd.DataFrame({"doc_id": [doc_id], "bad": [bad]})
+
+    per_doc = rows.groupBy("doc_id").applyInPandas(check, schema="doc_id string, bad int")
+    bucket = (F.substring("doc_id", 4, 8).cast("int") % 10)
+    return (per_doc.groupBy(bucket.alias("bucket"))
+            .agg(F.sum("bad").cast("bigint").alias("n_bad")))
+
+_fn("extract_pagexml_roundtrip", (), _pagexml_roundtrip_check, duck_sql="""
+SELECT CAST(b AS INT) AS bucket, CAST(0 AS BIGINT) AS n_bad
+FROM (SELECT unnest(range(0, 10)) AS b)
+""")
+
 # Pinned oracles (VERDICT r1 item 9): the corpus generator is a pure
 # deterministic function of doc_index, so these ops' outputs at the
 # driver's fixed sf=0.01 are constants. DuckDB cannot run the generator;
