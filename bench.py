@@ -108,6 +108,29 @@ def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
     raise RuntimeError(f"worker cpus={cpus} failed:\n{p.stdout[-2000:]}\n{p.stderr[-3000:]}")
 
 
+def _standalone_section():
+    """Real-cluster evidence (tools/standalone_bench.py writes the cached
+    result): one master + N standalone worker daemons on this box, one
+    4-core executor each — genuine cross-executor shuffle, the closest
+    single-box proxy to N -> 4N cluster scaling."""
+    path = os.path.join(CACHE, "standalone_bench.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        r = json.loads(f.read())
+    return [
+        "",
+        "## standalone-cluster run (real executors; tools/standalone_bench.py)",
+        f"{r['executors_lo']} executors x {r['cores_per_executor']} cores -> "
+        f"{r['docs_per_sec_2exec']} docs/s (trial walls {r['walls_lo']}); "
+        f"{r['executors_hi']} executors -> {r['docs_per_sec_8exec']} docs/s "
+        f"(trial walls {r['walls_hi']}); efficiency {r['scaling_efficiency']}; "
+        f"checksum match across cluster sizes: {r['checksum_match']}. "
+        "Note: all executors share ONE box's memory bandwidth — on a real "
+        "cluster each node brings its own.",
+    ]
+
+
 def update_bench_md(res: dict):
     lines = [
         "# BENCH — measured results (refreshed by bench.py)\n",
@@ -144,6 +167,7 @@ def update_bench_md(res: dict):
         + f"; efficiency {res.get('presorted_scaling_efficiency')}",
         f"checksum match across levels: {res['checksum_match']}",
         "",
+        *_standalone_section(),
         "## headline query latencies",
         f"sf_dir: {res['sf_dir']}",
         "| query | sec |", "|---|---|",

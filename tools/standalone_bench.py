@@ -1,0 +1,114 @@
+"""TRUE multi-executor scaling evidence (north rule: N -> 4N executors).
+
+local[N] shares one JVM; this harness instead stands up a real Spark
+standalone cluster on this box — one master + N worker daemons, one
+executor per worker — and runs the extraction job via
+spark-submit --master spark://... --py-files at N=2 and N=8 executors
+(4 cores each: 8 vs 32 cores total, genuine cross-executor shuffle over
+the loopback). Usage: python tools/standalone_bench.py [corpus_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
+CORES_PER_EXEC = 4
+LOGS = "/tmp/spark_standalone"
+
+
+def _daemon(cmd, env):
+    return subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.STDOUT)
+
+
+def start_cluster(n_workers: int):
+    env = dict(os.environ,
+               SPARK_LOG_DIR=LOGS, SPARK_PID_DIR=LOGS,
+               SPARK_LOCAL_IP="127.0.0.1", SPARK_MASTER_HOST="127.0.0.1",
+               SPARK_NO_DAEMONIZE="1",
+               SPARK_LOCAL_DIRS=os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                                               "/dev/shm/eynollah_spark_tmp"))
+    os.makedirs(LOGS, exist_ok=True)
+    procs = [_daemon([f"{SPARK_HOME}/bin/spark-class",
+                      "org.apache.spark.deploy.master.Master",
+                      "--host", "127.0.0.1", "--port", "7077",
+                      "--webui-port", "18080"], env)]
+    time.sleep(4)
+    for i in range(n_workers):
+        procs.append(_daemon(
+            [f"{SPARK_HOME}/bin/spark-class",
+             "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+             "--cores", str(CORES_PER_EXEC), "--memory", "10g",
+             "--webui-port", str(18100 + i)], env))
+    time.sleep(6)
+    return procs
+
+
+def stop_cluster(procs):
+    for p in reversed(procs):
+        p.terminate()
+    for p in procs:
+        try:
+            p.wait(timeout=15)
+        except Exception:
+            p.kill()
+
+
+def run_level(n_workers: int, corpus: str, zip_path: str) -> dict:
+    procs = start_cluster(n_workers)
+    try:
+        worker = os.path.join(REPO, "eynollah_spark", "bench_worker.py")
+        cmd = [f"{SPARK_HOME}/bin/spark-submit",
+               "--master", MASTER_URL,
+               "--deploy-mode", "client",
+               "--driver-memory", "8g",
+               "--conf", "spark.executor.cores=%d" % CORES_PER_EXEC,
+               "--conf", "spark.executor.memory=8g",
+               "--conf", "spark.cores.max=%d" % (n_workers * CORES_PER_EXEC),
+               "--conf", "spark.sql.shuffle.partitions=%d" % (n_workers * CORES_PER_EXEC),
+               "--py-files", zip_path, worker,
+               "--cpus", str(n_workers * CORES_PER_EXEC),
+               "--corpus", corpus, "--trials", "3"]
+        env = dict(os.environ, PYTHONPATH=REPO, SPARK_LOCAL_IP="127.0.0.1")
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
+        for line in p.stdout.splitlines():
+            if line.startswith("BENCH_WORKER "):
+                return json.loads(line[len("BENCH_WORKER "):])
+        raise RuntimeError(p.stdout[-1500:] + p.stderr[-2500:])
+    finally:
+        stop_cluster(procs)
+
+
+def main():
+    corpus = sys.argv[1] if len(sys.argv) > 1 else None
+    if corpus is None:
+        from bench import ensure_corpus
+        corpus = ensure_corpus(int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000")))
+    from eynollah_spark.packaging import build_zip
+    zip_path = build_zip()
+    lo = run_level(2, corpus, zip_path)
+    hi = run_level(8, corpus, zip_path)
+    eff = round((hi["docs_per_sec"] / lo["docs_per_sec"]) / 4, 3)
+    res = {"mode": "standalone-cluster", "executors_lo": 2, "executors_hi": 8,
+           "cores_per_executor": CORES_PER_EXEC,
+           "docs_per_sec_2exec": lo["docs_per_sec"],
+           "docs_per_sec_8exec": hi["docs_per_sec"],
+           "walls_lo": lo.get("extract_trials_sec"), "walls_hi": hi.get("extract_trials_sec"),
+           "checksum_match": lo["checksum"] == hi["checksum"],
+           "scaling_efficiency": eff}
+    print(json.dumps(res))
+    with open(os.path.join(REPO, ".cache", "standalone_bench.json"), "w") as f:
+        f.write(json.dumps(res) + "\n")
+
+
+if __name__ == "__main__":
+    main()
