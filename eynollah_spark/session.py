@@ -7,6 +7,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str:
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    # tmpfs if the box has it (see the shuffle-contention note below),
+    # else fall back to the system tmp
+    return "/dev/shm/eynollah_spark_tmp" if os.path.isdir("/dev/shm") else "/tmp"
+
+
 def build_session(app="eynollah_spark", cpus: int | None = None,
                   shuffle_partitions: int | None = None, ui=False) -> SparkSession:
     if cpus is None:
@@ -27,8 +36,7 @@ def build_session(app="eynollah_spark", cpus: int | None = None,
         # and 32 concurrent shuffle writers contend on it (measured: the
         # repartition stage got SLOWER 8->32 cores on disk). On a real
         # cluster use node-local NVMe via SPARK_GRAFT_LOCAL_DIR.
-        .config("spark.local.dir",
-                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/eynollah_spark_tmp"))
+        .config("spark.local.dir", _default_local_dir())
         .config("spark.ui.enabled", str(ui).lower())
     )
     spark = b.getOrCreate()
