@@ -80,20 +80,30 @@ def order_regions_pairwise(geom: np.ndarray, scorer=None, rtl: bool = False) -> 
     return [g[0] for g in ordered]
 
 
-def machine_reading_order(flat: DataFrame, scorer=None) -> DataFrame:
+def machine_reading_order(flat: DataFrame, scorer=None,
+                          buckets: int | None = None) -> DataFrame:
     """Alternative ordering path over flat span rows: cluster lines into
     regions, order regions with the pairwise model, lines via D1.
     Output: (doc_id, ord, offset) — text spans only (the machine-RO CLI
-    reorders TextRegions, mb_ro_on_layout.py:726-805)."""
+    reorders TextRegions, mb_ro_on_layout.py:726-805).
+
+    Grouping is by doc-id HASH BUCKET, not per doc: applyInPandas pays
+    per-group scheduling/serialization overhead, and at 10^8+ docs one
+    group per document is the same per-page overhead the main kernel's
+    mapInArrow carry-over design exists to avoid. Each pandas call
+    processes every document in its bucket."""
     from eynollah_spark.packaging import ensure_distributed
     from pyspark.sql import functions as F
 
-    ensure_distributed(flat.sparkSession)
+    spark = flat.sparkSession
+    ensure_distributed(spark)
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions")) * 4
     txt = flat.filter(F.col("kind") == "text").select(
-        "doc_id", "offset", "x0", "x1", "y0", "y1", "rtl")
+        "doc_id", "offset", "x0", "x1", "y0", "y1", "rtl",
+        F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("_bucket"))
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        sc = scorer or HeuristicPairScorer()
+    def _one_doc(g: pd.DataFrame, sc) -> pd.DataFrame:
         x0 = g["x0"].to_numpy(float)
         x1 = g["x1"].to_numpy(float)
         y0 = g["y0"].to_numpy(float)
@@ -124,7 +134,11 @@ def machine_reading_order(flat: DataFrame, scorer=None) -> DataFrame:
             "offset": g["offset"].to_numpy()[out].astype(np.int32),
         })
 
-    # optional path: applyInPandas per doc (one group per call keeps the
-    # partition/batch bookkeeping trivial; the default XY-cut path uses
-    # the streaming mapInArrow kernel instead)
-    return txt.groupBy("doc_id").applyInPandas(fn, schema="doc_id string, ord int, offset int")
+    def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        sc = scorer or HeuristicPairScorer()
+        return pd.concat(
+            [_one_doc(g, sc) for _, g in bucket.groupby("doc_id", sort=True)],
+            ignore_index=True)
+
+    return txt.groupBy("_bucket").applyInPandas(
+        fn, schema="doc_id string, ord int, offset int")

@@ -84,3 +84,15 @@ def test_ngram_jaccard_no_unbounded_shingle_selfjoin(spark):
         "found an exchange keyed on the raw shingle hash alone"
     # and the SQL itself draws candidates from the capped band buckets
     assert "pairs" in q["spark_sql"] and "BETWEEN 2 AND" in q["spark_sql"]
+
+
+def test_full_layout_plan_no_pathological_joins(spark):
+    """extract_full_layout composes 4 operators; none of its joins may
+    degrade to a cartesian/nested-loop product, and the only python
+    stages are the kernel + the two batch scorer passes."""
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pipeline import extract_full_layout
+
+    flat = corpus_flat_spark(spark, 30).drop("expected_kind", "expected_rank")
+    p = _plan(extract_full_layout(flat, partitions=4))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

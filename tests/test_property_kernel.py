@@ -73,3 +73,38 @@ def test_input_order_invariance(doc, rnd):
     perm2, kinds2 = layout_document(shuffled)
     seq2 = [(kinds2[p], int(shuffled.offset[i])) for p, i in enumerate(perm2)]
     assert seq1 == seq2
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=1, max_size=60))
+def test_fast_median_equals_numpy(xs):
+    """_med must be bit-identical to np.median (it replaced np.median in
+    the kernel hot path for speed; any semantic drift silently changes
+    row clustering thresholds)."""
+    from eynollah_spark.kernels.layout import _med
+
+    a = np.array(xs, dtype=float)
+    assert _med(a) == float(np.median(a))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 40), st.integers(100, 2400), st.randoms(use_true_random=False))
+def test_coverage_profile_matches_add_at(n, width, rnd):
+    """The bincount difference-array rewrite must match the original
+    np.add.at formulation bit-for-bit on integer-valued weights (all
+    corpus/fixture geometry) and to float tolerance otherwise."""
+    from eynollah_spark.kernels.layout import coverage_profile
+
+    x0 = np.array([rnd.uniform(0, width - 2) for _ in range(n)])
+    x1 = x0 + np.array([rnd.uniform(1, width / 3) for _ in range(n)])
+    w = np.array([float(rnd.randint(1, 40)) for _ in range(n)])
+    p, scale = coverage_profile(x0, x1, w, width)
+    bins = int(min(max(int(width), 8), 1024))
+    lo = np.clip((x0 * scale).astype(np.int64), 0, bins - 1)
+    hi = np.clip((x1 * scale).astype(np.int64) + 1, 1, bins)
+    d = np.zeros(bins + 1)
+    np.add.at(d, lo, w)
+    np.add.at(d, hi, -w)
+    ref = np.cumsum(d)[:-1]
+    assert np.array_equal(p, ref)
