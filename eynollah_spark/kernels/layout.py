@@ -106,9 +106,12 @@ def coverage_profile(x0, x1, weights, width, bins=1024):
     w = np.asarray(weights, dtype=float)
     lo = np.clip((np.asarray(x0) * scale).astype(np.int64), 0, bins - 1)
     hi = np.clip((np.asarray(x1) * scale).astype(np.int64) + 1, 1, bins)
-    # difference array via bincount (np.add.at is ~5x slower); summation
-    # order differs from add.at only within equal indices — bincount also
-    # accumulates in input order, so values are bit-identical
+    # difference array via bincount (np.add.at is ~5x slower). NOTE: this
+    # computes (sum of +w) - (sum of +w at hi) where add.at interleaved
+    # signed weights into one accumulator; identical for the integral
+    # span-height weights used here, but float rounding could differ for
+    # fractional weights — if a fractional-weight caller appears, switch
+    # to one signed bincount: bincount(concat(lo,hi), concat(w,-w)).
     d = (np.bincount(lo, weights=w, minlength=bins + 1)
          - np.bincount(hi, weights=w, minlength=bins + 1))
     return np.cumsum(d)[:-1], scale
@@ -733,9 +736,13 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
     # top edge sits above it (e.g. 2 cols, separator under col 1 only:
     # col1-above, col2-full, col1-below).
     band_id = np.searchsorted(np.asarray(splitters), bcy, side="right") - 1
-    cell_id = band_id.astype(np.int64) * 10000  # refined below at cuts
+    # Collision-free cell keys: bands take ids [0, n_bands); each cut
+    # column claims a fresh contiguous block of len(cuts)+1 ids above
+    # that, so no cell can alias another band's or column's cells no
+    # matter how many cuts/columns a pathological page has.
+    cell_id = band_id.astype(np.int64).copy()  # refined below at cuts
+    next_cell = max(len(splitters) - 1, 1)
     boxes = []  # (bx0, bx1, by0, by1)
-    cell_seq = 0
     for bi, (lo, hi) in enumerate(zip(splitters[:-1], splitters[1:])):
         in_band = (bcy >= lo) & (bcy < hi)
         if not in_band.any():
@@ -781,10 +788,10 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
                 # sub-interval so a region never merges across a separator
                 # (the reference's region model treats the rule as a hard
                 # region boundary); cut-less columns keep the band cell.
-                cell_seq += 1
                 in_col = in_band & (bcx >= cxa) & (bcx <= cxb)
-                cell_id[in_col] = (bi * 10000 + cell_seq * 100
+                cell_id[in_col] = (next_cell
                                    + np.searchsorted(np.asarray(cuts), bcy[in_col]))
+                next_cell += len(cuts) + 1
     if not boxes:
         boxes = [(0.0, W, 0.0, H)]
     barr = np.array(boxes)

@@ -22,7 +22,8 @@ reference's one-file-per-page layout.
 from __future__ import annotations
 
 import os
-from xml.sax.saxutils import escape
+import re
+from xml.sax.saxutils import escape, quoteattr
 
 import numpy as np
 import pandas as pd
@@ -85,13 +86,13 @@ def doc_to_pagexml(doc_id, width, height, kind, text, media_ref, offset,
         '<?xml version="1.0" encoding="UTF-8"?>',
         f'<PcGts xmlns="{PAGE_NS}" xmlns:xsi="{XSI_NS}" '
         f'xsi:schemaLocation="{PAGE_NS} {PAGE_NS}/pagecontent.xsd" '
-        f'pcGtsId="pc-{escape(str(doc_id))}">',
+        f'pcGtsId={quoteattr("pc-" + str(doc_id))}>',
         "  <Metadata>",
         f"    <Creator>{CREATOR}</Creator>",
         f"    <Created>{created}</Created>",
         f"    <LastChange>{created}</LastChange>",
         "  </Metadata>",
-        f'  <Page imageFilename="{escape(str(image_filename))}" '
+        f'  <Page imageFilename={quoteattr(str(image_filename))} '
         f'imageWidth="{int(width)}" imageHeight="{int(height)}" '
         'readingDirection="left-to-right" textLineOrder="top-to-bottom">',
     ]
@@ -192,7 +193,10 @@ def write_pagexml_dir(xml_df: DataFrame, out_dir: str) -> int:
 
     def write_part(rows):
         for r in rows:
-            with open(os.path.join(out_dir, f"{r['doc_id']}.xml"), "w") as f:
+            # sanitize: a doc_id containing a path separator (or '..')
+            # must not escape out_dir
+            stem = re.sub(r"[/\\\x00]|\.\.", "_", str(r["doc_id"]))
+            with open(os.path.join(out_dir, f"{stem}.xml"), "w") as f:
                 f.write(r["xml"])
 
     xml_df.foreachPartition(write_part)

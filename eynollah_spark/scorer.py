@@ -51,19 +51,26 @@ class HeuristicScorer:
         # C13 drop-capital rule (utils/__init__.py:743-795 majority/area
         # rules, symbolically): a tall, narrow text box — letter-shaped,
         # much taller than the page's typical line. The reference height
-        # is the per-DOCUMENT median of text-line heights (a batch mixes
-        # many docs; using a batch-wide median would make the output
-        # depend on batch composition).
-        ref_h = np.ones(len(pdf))
-        if is_text.any():
-            if "doc_id" in pdf.columns:
-                med = (
-                    pd.Series(h[is_text], index=pdf.index[is_text])
-                    .groupby(pdf.loc[is_text, "doc_id"]).median()
-                )
-                ref_h = pdf["doc_id"].map(med).fillna(1.0).to_numpy(float)
-            else:
-                ref_h = np.full(len(pdf), float(np.median(h[is_text])))
+        # is the per-DOCUMENT median of text-line heights. refine_kinds
+        # precomputes it as a relational per-doc aggregate (`ref_h`
+        # column) because a mapInPandas batch downstream of a join sees
+        # only a FRAGMENT of each document — an in-batch groupby median
+        # would vary with shuffle fetch order. The in-batch path below is
+        # the fallback for doc-complete batches only.
+        if "ref_h" in pdf.columns:
+            ref_h = pdf["ref_h"].to_numpy(float)
+            ref_h = np.where(np.isfinite(ref_h), ref_h, 1.0)
+        else:
+            ref_h = np.ones(len(pdf))
+            if is_text.any():
+                if "doc_id" in pdf.columns:
+                    med = (
+                        pd.Series(h[is_text], index=pdf.index[is_text])
+                        .groupby(pdf.loc[is_text, "doc_id"]).median()
+                    )
+                    ref_h = pdf["doc_id"].map(med).fillna(1.0).to_numpy(float)
+                else:
+                    ref_h = np.full(len(pdf), float(np.median(h[is_text])))
         drop = (
             is_text
             & (h >= 2.2 * np.maximum(ref_h, 1.0))
@@ -227,11 +234,24 @@ def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5) -> DataFr
 
     ensure_distributed(flat.sparkSession)
     scorer = scorer or HeuristicScorer()
+    out_schema = flat.schema
+
+    # Per-doc median text-line height as a RELATIONAL aggregate: the
+    # mapInPandas below typically runs on join output whose Arrow batches
+    # hold document fragments in nondeterministic shuffle-fetch order —
+    # any in-batch per-doc statistic would make kind refinement vary run
+    # to run. One groupBy + co-partitioned join on doc_id fixes the value
+    # before Python ever sees the rows.
+    med = (flat.filter(F.col("kind") == "text")
+           .groupBy("doc_id")
+           .agg(F.expr("percentile(greatest(y1 - y0, 1.0D), 0.5)")
+                .alias("ref_h")))
+    flat = flat.join(med, "doc_id", "left")
 
     def apply(iterator):
         for pdf in iterator:
             scores = scorer.score_batch(pdf)
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=["ref_h"])
             is_text = pdf["kind"] == "text"
             mask_h = (scores["p_heading"].to_numpy() >= threshold) & is_text
             pdf.loc[mask_h, "kind"] = "heading"
@@ -240,7 +260,7 @@ def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5) -> DataFr
                 pdf.loc[mask_d & ~mask_h, "kind"] = "drop-capital"
             yield pdf
 
-    return flat.mapInPandas(apply, schema=flat.schema)
+    return flat.mapInPandas(apply, schema=out_schema)
 
 
 def adhere_drop_capitals(ordered: DataFrame) -> DataFrame:

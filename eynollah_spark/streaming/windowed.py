@@ -97,4 +97,11 @@ def dedup_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
         return df.dropDuplicatesWithinWatermark(["fp"])
-    return df.dropDuplicates(["fp"])
+    # batch fallback: deterministic keeper (earliest ts, doc_id tiebreak),
+    # matching the stream's first-seen semantics — dropDuplicates keeps a
+    # partition-order-dependent arbitrary row, which flakes batch/stream
+    # survivor-set parity comparisons.
+    from pyspark.sql import Window as W
+    w = W.partitionBy("fp").orderBy(F.col("ts"), F.col("doc_id"))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

@@ -68,8 +68,34 @@ def test_ann_recall_vs_exact_topk(con):
     exact = {(q, v) for q, _rk, v, _s in _rows(con, "sim_topk_cosine")}
     ann = {(q, v) for q, _rk, v, _s in _rows(con, "sim_ann_topk")}
     recall = len(exact & ann) / len(exact)
-    # random unit vectors in 64-d (top-5 cosine only ~0.2-0.4): the
-    # 6x4-bit tables recover ~1/3 of the exact top-5 while probing a
-    # bounded candidate slice — the operator's value is the bounded
-    # cost. Deterministic data -> pin the measured floor.
-    assert recall >= 0.3, recall
+    # random unit vectors in 64-d are the WORST case for LSH (top-5
+    # cosine only ~0.2-0.4, near-orthogonal); distance-1 multi-probe
+    # over the 6x4-bit tables still recovers >=0.8 of the exact top-5
+    # while probing a capped candidate slice (measured 0.96).
+    assert recall >= 0.8, recall
+
+
+def test_ann_recall_on_planted_clusters():
+    """Realistic embedding geometry: each query vector gets 3 planted
+    near-copies (cosine ~0.95+), mirroring how trained-encoder neighbors
+    actually cluster. ANN must place the planted copies in the top-5 at
+    near-perfect recall — this is the regime the operator ships for."""
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW base AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    c.sql("""
+        CREATE VIEW embeddings AS
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT b.vec_id + 10000 * k.k AS vec_id,
+               list_transform(b.embedding, x -> CAST(x + 0.03 * k.k AS FLOAT)) AS embedding
+        FROM base b CROSS JOIN (SELECT unnest(range(1, 4)) AS k) k
+        WHERE b.vec_id < 5
+    """)
+    r = registry()
+    exact = {(q, v) for q, _rk, v, _s in c.sql(r["sim_topk_cosine"]["duck_sql"]).fetchall()}
+    ann = {(q, v) for q, _rk, v, _s in c.sql(r["sim_ann_topk"]["duck_sql"]).fetchall()}
+    # sanity: the planted copies dominate the exact top-5
+    planted_in_exact = {(q, v) for q, v in exact if v >= 10000}
+    assert len(planted_in_exact) >= 12, planted_in_exact
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.95, recall
