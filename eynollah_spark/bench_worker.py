@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -52,19 +53,29 @@ def main():
 
     if args.corpus:
         kernel_partitions = args.cpus * 4  # small tasks -> scheduler absorbs skew
-        def run_once(**kw):
+
+        def run_once():
             t0 = time.time()
-            out = extract_flat_input(flat, partitions=kernel_partitions, **kw)
+            if args.presorted:
+                # bucketed-table fast path: task-side columnar scan over
+                # the file manifest (zero shuffle, zero JVM row re-encode)
+                import glob
+
+                from eynollah_spark.pipeline import extract_from_parquet_files
+                files = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))
+                out = extract_from_parquet_files(
+                    spark, files, partitions=args.cpus * 8)
+            else:
+                out = extract_flat_input(flat, partitions=kernel_partitions)
             row = out.select(
                 F.count("*").alias("rows"),
                 F.expr("bit_xor(xxhash64(doc_id, ord, kind, offset))").alias("checksum"),
             ).first()
             return time.time() - t0, int(row["checksum"]), row["rows"]
 
-        kw = {"assume_doc_partitioned": True} if args.presorted else {}
         trials, checksum, rows = [], None, None
         for _ in range(args.trials):
-            t, checksum, rows = run_once(**kw)
+            t, checksum, rows = run_once()
             trials.append(t)
         wall = min(trials)
         result.update({

@@ -534,7 +534,59 @@ def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[rb] = ra
-    return np.array([find(i) for i in range(n)])
+    labels = np.array([find(i) for i in range(n)])
+
+    # Containment post-pass (the reference's actual C16 rule is
+    # point-in-REGION-polygon, eynollah.py:946-980 — a line lying inside
+    # a merged contour belongs to it no matter its indent): a line whose
+    # bbox falls strictly inside ANOTHER region's bbox (same band) joins
+    # that region. Without this, an indented single-line region
+    # vertically interleaved in a paragraph block makes the final order
+    # depend on a 1-px gap-rule boundary (fixture-margin finding, r3):
+    # no ordering of the two region UNITS preserves the flow, while
+    # in-region D1 row ordering restores it exactly.
+    uniq = np.unique(labels)
+    if len(uniq) > 1:
+        # one vectorized pass over the ORIGINAL region bboxes; a line
+        # contained in several picks the container with the smallest
+        # (area, x0, y0, x1, y1) — a purely geometric key, so the result
+        # is invariant to input row order
+        R = len(uniq)
+        rx0 = np.empty(R); rx1 = np.empty(R)
+        ry0 = np.empty(R); ry1 = np.empty(R)
+        rb = np.empty(R, dtype=band.dtype)
+        for k, u in enumerate(uniq):
+            m = labels == u
+            rx0[k], rx1[k] = x0[m].min(), x1[m].max()
+            ry0[k], ry1[k] = y0[m].min(), y1[m].max()
+            rb[k] = band[np.flatnonzero(m)[0]]
+        area = (rx1 - rx0) * (ry1 - ry0)
+        rank = np.empty(R, dtype=np.int64)
+        rank[np.lexsort((ry1, rx1, ry0, rx0, area))] = np.arange(R)
+        cont = ((x0[:, None] >= rx0) & (x1[:, None] <= rx1)
+                & (y0[:, None] >= ry0) & (y1[:, None] <= ry1)
+                & (band[:, None] == rb) & (labels[:, None] != uniq))
+        if cont.any():
+            # bbox containment over-approximates the contour (an L-shaped
+            # title+column region's bbox swallows the neighbour column):
+            # require the container to have member lines x-overlapping
+            # the candidate BOTH above and below — i.e. the line is truly
+            # interleaved in the container's flow, not merely inside its
+            # bounding box.
+            new = labels.copy()
+            for i in np.flatnonzero(cont.any(axis=1)):
+                best = None
+                for k in np.flatnonzero(cont[i]):
+                    m = labels == uniq[k]
+                    ovl = m & (np.minimum(x1, x1[i]) > np.maximum(x0, x0[i]))
+                    if ((ovl & (y1 <= y0[i])).any()
+                            and (ovl & (y0 >= y1[i])).any()):
+                        if best is None or rank[k] < rank[best]:
+                            best = k
+                if best is not None:
+                    new[i] = uniq[best]
+            labels = new
+    return labels
 
 
 # --------------------------------------------------- ordering (D4/D5/D6/D1) ---
@@ -711,6 +763,50 @@ def _order_marginals(marg_ix, x0, x1, y0, y1, cx, cy, W, rtl, off):
     return np.array(out_l, dtype=np.int64), np.array(out_r, dtype=np.int64)
 
 
+def _extend_box_span(edges, trail, ya, yb, lx0, lx1, ly0, ly1, lcy, rtl):
+    """D4 get_span column-merge refinement (utils/__init__.py:1794-1864):
+    a box emitted below a partial-width separator advances past following
+    columns that its content actually spans — the walk returns the
+    right-most column boundary such that merging does not cut a region,
+    guarded by the reference's text-coverage rule (text at the boundary
+    column must cover > 10% of the box height, :1824-1826).
+
+    Wide spanning components already became their own bands in
+    find_splitters pass 2 (the reference's big-parts path, :1708-1761);
+    this extension handles the NARROW overhangs that stay: a region
+    crossing a column edge by more than a couple px but less than the
+    banding margin. `trail` is the box's trailing edge in reading order
+    (right edge for LTR, left for RTL); returns the extended edge."""
+    inb = (lcy >= ya) & (lcy < yb)
+    if not inb.any():
+        return trail
+    bx0, bx1 = lx0[inb], lx1[inb]
+    bh = ly1[inb] - ly0[inb]
+    cur = float(trail)
+    # at most len(edges) extensions; each strictly advances
+    for _ in range(len(edges) + 1):
+        if not rtl:
+            cross = (bx0 < cur - 2.0) & (bx1 > cur + 2.0)
+            if not cross.any() or bh[cross].sum() <= 0.1 * (yb - ya):
+                break
+            target = float(bx1[cross].max())
+            nxt = [e for e in edges if e > cur + 1e-9]
+            cand = [e for e in nxt if e >= target - 1e-9]
+            new = cand[0] if cand else (nxt[-1] if nxt else cur)
+        else:
+            cross = (bx1 > cur + 2.0) & (bx0 < cur - 2.0)
+            if not cross.any() or bh[cross].sum() <= 0.1 * (yb - ya):
+                break
+            target = float(bx0[cross].min())
+            nxt = [e for e in edges if e < cur - 1e-9]
+            cand = [e for e in nxt if e <= target + 1e-9]
+            new = cand[-1] if cand else (nxt[0] if nxt else cur)
+        if abs(new - cur) <= 1e-9:
+            break
+        cur = new
+    return cur
+
+
 def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
                      hseps, vsep_cx, vsep_boxes, main_lo, main_hi, rtl, off):
     """D2 + D4 + D5 + D6 + D1 over the non-marginal text lines."""
@@ -753,7 +849,9 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
                      if min(vy1, hi) - max(vy0, lo) >= 0.3 * max(min(vy1 - vy0, hi - lo), 1.0)]
             g = find_gutters(bx0[in_band], bx1[in_band], by0[in_band], by1[in_band], W,
                              vsep_cx=vband)
-        ex0, ex1 = float(bx0[in_band].min()), float(bx1[in_band].max())
+        bbx0, bbx1 = bx0[in_band], bx1[in_band]
+        bby0, bby1, bbcy = by0[in_band], by1[in_band], bcy[in_band]
+        ex0, ex1 = float(bbx0.min()), float(bbx1.max())
         edges = [ex0] + [x for x in g if ex0 < x < ex1] + [ex1]
         cols = list(zip(edges[:-1], edges[1:]))
         if rtl:
@@ -782,7 +880,17 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
                     cuts = dd
             ys = [lo] + cuts + [hi]
             for ya, yb in zip(ys[:-1], ys[1:]):
-                boxes.append((cxa, cxb, ya, yb))
+                xa, xb = cxa, cxb
+                if cuts:
+                    # D4 get_span refinement: a sub-box of a cut column
+                    # advances past following columns its content spans
+                    if rtl:
+                        xa = _extend_box_span(edges, cxa, ya, yb,
+                                              bbx0, bbx1, bby0, bby1, bbcy, True)
+                    else:
+                        xb = _extend_box_span(edges, cxb, ya, yb,
+                                              bbx0, bbx1, bby0, bby1, bbcy, False)
+                boxes.append((xa, xb, ya, yb))
             if cuts:
                 # lines in a cut column get their own clustering cell per
                 # sub-interval so a region never merges across a separator
@@ -809,18 +917,24 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
     roff = np.array([boff[labels == u].min() for u in uniq])
     rcx, rcy = (rx0 + rx1) / 2.0, (ry0 + ry1) / 2.0
 
-    # D5: assign each region to a box
+    # D5: assign each region to a box. Strict containment takes the FIRST
+    # box in emission order (the reference's match_boxes breaks on the
+    # first containing box, eynollah.py:1166-1179 — matters when get_span
+    # widened boxes overlap full-height column boxes); fallback is the
+    # nearest center among center-containing boxes (:1181-1187).
     box_of = np.zeros(len(uniq), dtype=np.int64)
     for r in range(len(uniq)):
         contain = np.flatnonzero(
             (barr[:, 0] <= rx0[r]) & (barr[:, 1] >= rx1[r])
             & (barr[:, 2] <= ry0[r]) & (barr[:, 3] >= ry1[r])
         )
-        if len(contain) == 0:
-            contain = np.flatnonzero(
-                (barr[:, 0] <= rcx[r]) & (barr[:, 1] > rcx[r])
-                & (barr[:, 2] <= rcy[r]) & (barr[:, 3] > rcy[r])
-            )
+        if len(contain):
+            box_of[r] = int(contain[0])
+            continue
+        contain = np.flatnonzero(
+            (barr[:, 0] <= rcx[r]) & (barr[:, 1] > rcx[r])
+            & (barr[:, 2] <= rcy[r]) & (barr[:, 3] > rcy[r])
+        )
         cand = contain if len(contain) else np.arange(len(barr))
         d = (bcenx[cand] - rcx[r]) ** 2 + (bceny[cand] - rcy[r]) ** 2
         box_of[r] = cand[int(np.argmin(d))]

@@ -47,6 +47,43 @@ class HeuristicPairScorer:
         return 1.0 / (1.0 + np.exp(-4.0 * z))
 
 
+class MLPPairScorer:
+    """Trained pair-model slot for B14 (same weights pattern as
+    scorer.load_mlp_weights/NumpyMLPScorer): a broadcast npz with
+    W1/b1/W2/b2 over the 6 pair features below; one batched matmul per
+    pivot. Ship weights via tools-style offline training when pair
+    ground truth exists; HeuristicPairScorer stays the default."""
+
+    def __init__(self, weights=None, weights_broadcast=None):
+        self._w = weights
+        self._bc = weights_broadcast
+
+    @property
+    def weights(self):
+        if self._w is None:
+            self._w = self._bc.value
+        return self._w
+
+    @staticmethod
+    def pair_features(geom, i, j, rtl=False):
+        cx_d = geom[j, 0] - geom[i, 0]
+        if rtl:
+            cx_d = -cx_d
+        h = np.maximum((geom[i, 3] + geom[j, 3]) / 2.0, 1.0)
+        return np.column_stack([
+            (geom[j, 1] - geom[i, 1]) / h, cx_d / np.maximum(geom[i, 2], 1.0),
+            geom[i, 3] / h, geom[j, 3] / h,
+            geom[i, 2] / np.maximum(geom[j, 2], 1.0), np.ones(len(i)),
+        ])
+
+    def score(self, geom, i, j, rtl=False):
+        m = self.weights
+        X = self.pair_features(geom, i, j, rtl)
+        hdn = np.maximum(X @ m["W1"] + m["b1"], 0.0)
+        z = (hdn @ m["W2"] + m["b2"]).ravel()
+        return 1.0 / (1.0 + np.exp(-z))
+
+
 def order_regions_pairwise(geom: np.ndarray, scorer=None, rtl: bool = False) -> list[int]:
     """The reference's insertion/partition loop (eynollah.py:1763-1800),
     with the pair model applied as one vectorized batch per pivot."""
@@ -80,6 +117,72 @@ def order_regions_pairwise(geom: np.ndarray, scorer=None, rtl: bool = False) -> 
     return [g[0] for g in ordered]
 
 
+#: the reference's dilation pre-step threshold (eynollah.py:1660
+#: min_cont_size_to_be_dilated): pages with more regions than this get
+#: grouped into super-regions first so the pairwise loop stays bounded
+MIN_REGIONS_TO_GROUP = 10
+#: wide regions (>= 1.3x mean width) are excluded from grouping
+#: (eynollah.py:1678-1680 diff_x_ratio rule)
+_WIDE_RATIO = 1.3
+
+
+def order_regions_grouped(geom: np.ndarray, scorer=None, rtl: bool = False,
+                          page_h: float | None = None) -> list[int]:
+    """Pairwise ordering with the reference's dilated-clustering pre-step
+    (eynollah.py:1661-1722): pages with > MIN_REGIONS_TO_GROUP regions
+    first merge same-column vertically-adjacent regions (the vertical
+    dilation's connected components) into super-regions — EXCLUDING wide
+    regions — then run the O(k^2)-pivot loop over the k super-regions
+    and expand each super-region's members by cy (the reference's
+    argsort(cy_of_located), :1805-1812). Caps the pairwise batch count
+    on pathological many-region pages."""
+    n = len(geom)
+    if n <= MIN_REGIONS_TO_GROUP:
+        return order_regions_pairwise(geom, scorer, rtl=rtl)
+    cx, cy, w, h = geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3]
+    x0, x1 = cx - w / 2.0, cx + w / 2.0
+    y0, y1 = cy - h / 2.0, cy + h / 2.0
+    incl = w / max(float(w.mean()), 1e-9) < _WIDE_RATIO
+    reach = 0.04 * (page_h if page_h else float(y1.max()))  # dilation reach
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ii = np.flatnonzero(incl)
+    if len(ii) > 1:
+        # same column: x-overlap >= 70% of the narrower; vertically
+        # adjacent within the dilation reach
+        a, b = np.meshgrid(ii, ii, indexing="ij")
+        m = a < b
+        ov = (np.minimum(x1[a], x1[b]) - np.maximum(x0[a], x0[b]))
+        m &= ov >= 0.7 * np.minimum(w[a], w[b])
+        gap = np.maximum(y0[b], y0[a]) - np.minimum(y1[a], y1[b])
+        m &= gap <= reach
+        for p, q in zip(a[m], b[m]):
+            rp, rq = find(p), find(q)
+            if rp != rq:
+                parent[rq] = rp
+    labels = np.array([find(i) for i in range(n)])
+    uniq = np.unique(labels)
+    sgeom = np.empty((len(uniq), 4))
+    members = []
+    for k, u in enumerate(uniq):
+        m = np.flatnonzero(labels == u)
+        members.append(m[np.argsort(cy[m], kind="stable")])
+        sx0, sx1 = x0[m].min(), x1[m].max()
+        sy0, sy1 = y0[m].min(), y1[m].max()
+        sgeom[k] = ((sx0 + sx1) / 2.0, (sy0 + sy1) / 2.0, sx1 - sx0, sy1 - sy0)
+    sorder = order_regions_pairwise(sgeom, scorer, rtl=rtl)
+    out: list[int] = []
+    for s in sorder:
+        out.extend(int(i) for i in members[s])
+    return out
+
+
 def machine_reading_order(flat: DataFrame, scorer=None,
                           buckets: int | None = None) -> DataFrame:
     """Alternative ordering path over flat span rows: cluster lines into
@@ -103,12 +206,8 @@ def machine_reading_order(flat: DataFrame, scorer=None,
         "doc_id", "offset", "x0", "x1", "y0", "y1", "rtl",
         F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("_bucket"))
 
-    def _one_doc(g: pd.DataFrame, sc) -> pd.DataFrame:
-        x0 = g["x0"].to_numpy(float)
-        x1 = g["x1"].to_numpy(float)
-        y0 = g["y0"].to_numpy(float)
-        y1 = g["y1"].to_numpy(float)
-        rtl = bool(g["rtl"].iloc[0])
+    def _one_doc(x0, x1, y0, y1, off, rtl, sc):
+        """Array-slices in, ordered input-index array out (no pandas)."""
         labels = cluster_lines_into_regions(x0, x1, y0, y1, rtl=rtl)
         uniq = np.unique(labels)
         geom = np.empty((len(uniq), 4))
@@ -120,25 +219,47 @@ def machine_reading_order(flat: DataFrame, scorer=None,
                        (y0[m].min() + y1[m].max()) / 2.0,
                        x1[m].max() - x0[m].min(),
                        y1[m].max() - y0[m].min())
-        region_order = order_regions_pairwise(geom, sc, rtl=rtl)
-        off = g["offset"].to_numpy(np.int64)
+        region_order = order_regions_grouped(geom, sc, rtl=rtl)
         out = []
         for r in region_order:
             m = members[r]
             cx = (x0[m] + x1[m]) / 2.0
             cy = (y0[m] + y1[m]) / 2.0
             out.extend(m[order_lines_in_region(cx, cy, rtl, off[m])].tolist())
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].iloc[0],
-            "ord": np.arange(len(out), dtype=np.int32),
-            "offset": g["offset"].to_numpy()[out].astype(np.int32),
-        })
+        return np.asarray(out, dtype=np.int64)
 
     def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Dictionary-encode + contiguous-run slicing (the main kernel's
+        pattern, r2 VERDICT item 8): ONE numpy conversion per bucket and
+        pure array slices per document — no per-doc pandas objects."""
         sc = scorer or HeuristicPairScorer()
-        return pd.concat(
-            [_one_doc(g, sc) for _, g in bucket.groupby("doc_id", sort=True)],
-            ignore_index=True)
+        if not len(bucket):
+            return pd.DataFrame({"doc_id": [], "ord": [], "offset": []})
+        codes, uniq_ids = pd.factorize(bucket["doc_id"], sort=True)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        ids = bucket["doc_id"].to_numpy(dtype=object)[order]
+        x0 = bucket["x0"].to_numpy(float)[order]
+        x1 = bucket["x1"].to_numpy(float)[order]
+        y0 = bucket["y0"].to_numpy(float)[order]
+        y1 = bucket["y1"].to_numpy(float)[order]
+        off = bucket["offset"].to_numpy(np.int64)[order]
+        rtl = bucket["rtl"].to_numpy()[order]
+        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(codes)]))
+        id_l, ord_l, off_l = [], [], []
+        for s, e in zip(starts, ends):
+            sub = _one_doc(x0[s:e], x1[s:e], y0[s:e], y1[s:e], off[s:e],
+                           bool(rtl[s]), sc) + s
+            id_l.append(np.full(e - s, ids[s], dtype=object))
+            ord_l.append(np.arange(e - s, dtype=np.int32))
+            off_l.append(off[sub].astype(np.int32))
+        return pd.DataFrame({
+            "doc_id": np.concatenate(id_l),
+            "ord": np.concatenate(ord_l),
+            "offset": np.concatenate(off_l),
+        })
 
     return txt.groupBy("_bucket").applyInPandas(
         fn, schema="doc_id string, ord int, offset int")

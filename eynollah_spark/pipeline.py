@@ -359,6 +359,45 @@ def make_arrow_kernel(include_payload: bool = True, fail_fast: bool = True):
     return kernel
 
 
+def make_partition_arrow_kernel(include_payload: bool = True, fail_fast: bool = True):
+    """Whole-partition Arrow kernel: accumulate the partition, establish
+    the canonical (doc_id, offset) row order with ONE Arrow C++ sort, then
+    run the same per-doc-run kernel over the sorted table.
+
+    This replaces the upstream `sortWithinPartitions` stage entirely: a
+    Tungsten per-partition sort of 10^7 UnsafeRows costs seconds per level
+    and scales poorly on one box (profiled r3), while pc.sort_indices +
+    pc.take on the Arrow table costs ~0.1 s per 300k-row partition inside
+    the Python worker that already holds the data. It also DROPS the
+    sorted-files requirement from the bucketed fast path: files must only
+    be doc-complete (never split a doc), not pre-sorted.
+
+    Memory: one partition resident per task — bounded by the salted
+    repartition (shuffled path) or spark.sql.files.maxPartitionBytes
+    (bucketed scan path), same bound the carry logic already implied."""
+    import pyarrow as pa
+
+    base = make_arrow_kernel(include_payload=include_payload, fail_fast=fail_fast)
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        tabs = list(batches)
+        if not tabs:
+            return
+        t = pa.Table.from_batches(tabs).combine_chunks()
+        del tabs
+        idx = pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")])
+        t = pc.take(t, idx)
+        # route through the carry-aware base kernel: take() can return
+        # multiple chunks (2 GB string-array cap) and a doc must never be
+        # processed across an unhandled batch boundary
+        yield from base(iter(t.to_batches()))
+
+    return kernel
+
+
 def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
             heavy_threshold: int | None = None, fail_fast: bool = True) -> DataFrame:
     """documents (nested) -> ordered out_spans.
@@ -393,17 +432,25 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
     kind, offset); the text / media_ref payload joins back JVM-side
     (shuffled hash join — both sides hash-shuffle on the keys, no sort)
     on (doc_id, offset) and never crosses into Python at all — the
-    wide-payload plan for 100 TB inputs. Measured r2 on 100k docs:
-    13.4 s at local[32] vs 16.8 s inline, scaling eff 0.64 vs 0.40.
+    wide-payload plan for 100 TB inputs.
     strategy='inline': payload strings ride through the kernel stage
     (permuted C++-side, but they still cross the JVM<->python socket).
+    With a bucketed input (assume_doc_partitioned) inline is the
+    ZERO-shuffle plan: scan -> kernel -> sink, nothing else.
 
-    assume_doc_partitioned: the input is already doc-contiguous per file
+    Since r3 the canonical (doc_id, offset) row order is established
+    INSIDE the kernel (make_partition_arrow_kernel: one Arrow C++ sort
+    of the resident partition) instead of a `sortWithinPartitions`
+    stage — a Tungsten sort of 10^7 UnsafeRows per level was the single
+    largest non-kernel cost and scales poorly on one box.
+
+    assume_doc_partitioned: the input is already doc-complete per file
     (an Iceberg table bucketed by doc_id — the recommended deployment
     shape) -> skip the repartition shuffle entirely. The caller must
     guarantee one file never splits a document AND files are smaller
     than spark.sql.files.maxPartitionBytes (otherwise a file split could
-    separate a document's rows).
+    separate a document's rows). Files do NOT need to be sorted — the
+    in-kernel sort canonicalizes.
     """
     from eynollah_spark.packaging import ensure_distributed
 
@@ -422,9 +469,8 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
                              "offset", "x0", "x1", "y0", "y1")
         if not assume_doc_partitioned:
             narrow = narrow.repartition(partitions, F.xxhash64("doc_id"))
-        narrow = narrow.sortWithinPartitions("doc_id", "offset")
         perm = narrow.mapInArrow(
-            make_arrow_kernel(include_payload=False, fail_fast=fail_fast),
+            make_partition_arrow_kernel(include_payload=False, fail_fast=fail_fast),
             schema="doc_id string, ord int, kind string, offset int")
         payload = flat.select("doc_id", "offset", "text", "media_ref")
         # shuffle_hash: build a hash map per partition instead of sorting
@@ -437,8 +483,63 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
                     "media_ref", "offset", "x0", "x1", "y0", "y1")
     if not assume_doc_partitioned:
         f = f.repartition(partitions, F.xxhash64("doc_id"))
-    f = f.sortWithinPartitions("doc_id", "offset")
-    return f.mapInArrow(make_arrow_kernel(fail_fast=fail_fast), schema=FLAT_OUT_SCHEMA)
+    return f.mapInArrow(make_partition_arrow_kernel(fail_fast=fail_fast),
+                        schema=FLAT_OUT_SCHEMA)
+
+
+#: input columns the kernel needs (column projection for the task-side scan)
+_SCAN_COLS_NARROW = ["doc_id", "width", "height", "rtl", "kind",
+                     "offset", "x0", "x1", "y0", "y1"]
+
+
+def extract_from_parquet_files(spark, paths: list[str], partitions: int | None = None,
+                               include_payload: bool = True,
+                               fail_fast: bool = True) -> DataFrame:
+    """Task-side columnar scan extraction — the bucketed-table fast path
+    taken to its logical end (zero JVM row conversion on the input side).
+
+    The input is the bucketed table's FILE MANIFEST (an Iceberg snapshot's
+    data-file list): Spark schedules one task per file slice; each task
+    opens its doc-complete parquet files with pyarrow (column-projected to
+    the kernel's needs) and streams them through the whole-partition
+    kernel. Input bytes go parquet -> Arrow -> numpy with no
+    InternalRow/ArrowEvalPython re-encode hop, which profiling shows is
+    the bulk of the JVM-scan path's fixed cost; only the (narrow) OUTPUT
+    crosses the JVM boundary.
+
+    Distribution story at 100 TB: identical to the DataFrame path — tasks
+    read their files from the object store (pyarrow reads s3://... the
+    same way the JVM scan would), locality and retries come from the
+    Spark scheduler, resume anti-joins the output manifest per file. The
+    caller guarantees what the bucketed contract already required: every
+    file is doc-complete. Files need not be sorted (in-kernel sort).
+
+    Correctness equivalence with extract_flat_input(assume_doc_partitioned)
+    is pinned by the bench checksum and tests/test_pipeline_spark.py."""
+    from eynollah_spark.packaging import ensure_distributed
+
+    ensure_distributed(spark)
+    paths = sorted(paths)
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ntasks = min(len(paths), max(partitions, 1))
+    cols = _SCAN_COLS_NARROW + (["text", "media_ref"] if include_payload else [])
+
+    def gen(batches):
+        import pyarrow.parquet as pq
+
+        kern = make_partition_arrow_kernel(include_payload=include_payload,
+                                           fail_fast=fail_fast)
+        for b in batches:
+            for tid in b.column(0).to_pylist():
+                for fp in paths[int(tid)::ntasks]:
+                    t = pq.read_table(fp, columns=cols)
+                    yield from kern(iter(t.to_batches()))
+
+    out_schema = (FLAT_OUT_SCHEMA if include_payload
+                  else "doc_id string, ord int, kind string, offset int")
+    ids = spark.range(0, ntasks, 1, ntasks)
+    return ids.mapInArrow(gen, schema=out_schema)
 
 
 def extract_full_layout(flat: DataFrame, partitions: int | None = None,

@@ -139,6 +139,25 @@ def _span_features(pdf: pd.DataFrame) -> np.ndarray:
     ])
 
 
+#: shipped trained artifact (tools/train_region_model.py) — the symbolic
+#: analogue of the reference's pretrained region models
+#: (model_zoo/default_specs.py:10-252)
+DEFAULT_MLP_WEIGHTS = "models/region_kind_mlp.npz"
+
+
+def load_mlp_weights(path: str | None = None) -> dict:
+    """Load trained region-kind MLP weights from disk (npz with
+    W1/b1/W2/b2 — the exact slots NumpyMLPScorer consumes). Driver-side:
+    load once, broadcast, hand the broadcast to NumpyMLPScorer so every
+    executor deserializes the model once per worker (the reference's
+    singleton-predictor pattern, predictor.py:13-122)."""
+    import os
+
+    path = path or os.path.join(os.path.dirname(__file__), DEFAULT_MLP_WEIGHTS)
+    z = np.load(path)
+    return {k: z[k] for k in ("W1", "b1", "W2", "b2")}
+
+
 class NumpyMLPScorer:
     """Runnable model-backed scorer: real batched matmul inference (the
     concrete stand-in for the reference's CNN models — predictor.py:13-122
@@ -309,7 +328,15 @@ class FillTextScorer:
     runs CNN-RNN/TrOCR over line crops (eynollah_ocr.py:269-640); here the
     pluggable scorer fills text per Arrow batch — the default is a
     deterministic placeholder (content-addressed by doc/offset), a real
-    OCR model drops into the same batch interface."""
+    OCR model drops into the same batch interface.
+
+    Weights pattern (same as NumpyMLPScorer/load_mlp_weights): pass a
+    broadcast of model bytes/weights via `weights_broadcast`; executors
+    lazily materialize the model once per python worker."""
+
+    def __init__(self, weights_broadcast=None):
+        self._bc = weights_broadcast
+        self._model = None
 
     def fill_batch(self, pdf: pd.DataFrame) -> pd.Series:
         missing = (pdf["kind"] == "text") & pdf["text"].isna()

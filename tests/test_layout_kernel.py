@@ -170,3 +170,110 @@ def test_d4_partial_width_separator_per_column_recursion():
         + [sep_off]                          # separator in the D8 tail
     )
     assert got == expect
+
+
+def _mk_doc(rows, W=1500, H=2000):
+    arr = lambda i, dt=object: np.array([r[i] for r in rows], dtype=dt)
+    n = len(rows)
+    return DocSpans(
+        kind=arr(0), text=arr(1), media_ref=np.array([None] * n, dtype=object),
+        offset=np.arange(n, dtype=np.int64),
+        x0=arr(2, float), x1=arr(3, float), y0=arr(4, float), y1=arr(5, float),
+        width=W, height=H)
+
+
+def test_d4_get_span_column_merge():
+    """VERDICT r2 item 5: the constructed page that forces the reference's
+    get_span column-merge walk (utils/__init__.py:1794-1864) — 3 columns,
+    a separator under column 2 only, and below it a region overhanging
+    from column 2 into column 3 by LESS than the spanning-band margin (so
+    find_splitters pass 2 does not band it, the big-parts path). The box
+    below the separator must widen through column 3; the overhanging
+    region must order AFTER all of column 3 (the reference walk emits the
+    full-height column-3 box before the merged below-separator box),
+    never interleaved into column 3's flow."""
+    rows = []
+
+    def line(tag, x0, x1, y, h=20):
+        rows.append(("text", tag, x0, x1, y, y + h))
+
+    for i in range(30):
+        line(f"c1_{i:02d}", 100, 400, 100 + i * 45)
+    for i in range(26):
+        line(f"c2a_{i:02d}", 500, 800, 100 + i * 45)
+    for i in range(4):
+        line(f"c2b_{i:02d}", 500, 800, 1330 + i * 45)
+    for i in range(27):
+        line(f"c3a_{i:02d}", 900, 1200, 100 + i * 45)
+    # overhang into col2: x0=800 is ~50 px left of the ~850 gutter, under
+    # the 0.04*W = 60 px banding margin -> stays in the column structure
+    # (the wide-spanning big-parts path would band it instead)
+    for i in range(2):
+        line(f"sp_{i}", 800, 1150, 1350 + i * 30)
+    for i in range(3):
+        line(f"c3b_{i}", 900, 1200, 1530 + i * 45)
+    rows.append(("separator", None, 500, 800, 1295, 1303))    # cut of col2
+    rows.append(("separator", None, 100, 1200, 1500, 1506))   # band splitter
+
+    d = _mk_doc(rows)
+    perm, kinds = layout_document(d)
+    got = [d.text[i] for i in perm if d.text[i] is not None]
+    groups = [t.split("_")[0] for t in got]
+
+    def block(tag):
+        idx = [k for k, g in enumerate(groups) if g == tag]
+        assert idx, f"missing group {tag}"
+        assert idx == list(range(idx[0], idx[0] + len(idx))), \
+            f"group {tag} not contiguous: {idx}"
+        return idx[0]
+
+    order = sorted(["c1", "c2a", "c2b", "c3a", "c3b", "sp"], key=block)
+    # reference walk: col1, col2-above, col3 full height, then the widened
+    # below-separator box (col2-below, then the overhanging region), then
+    # the next band. Without get_span the overhanging region instead lands
+    # in column 3's box (center fallback) and precedes c2b.
+    assert order == ["c1", "c2a", "c3a", "c2b", "sp", "c3b"], order
+    # within each group, generation (top-down) order
+    for tag in ("c1", "c2a", "c2b", "c3a", "c3b", "sp"):
+        sub = [t for t in got if t.startswith(tag + "_")]
+        assert sub == sorted(sub), sub
+
+
+def test_d4_fixture_actually_diverges(monkeypatch):
+    """The fixture above must genuinely exercise get_span: with the
+    extension disabled (pre-r3 behavior), the overhanging region lands in
+    column 3's box and the sequence differs — proving the fixture hunts
+    the divergence rather than passing vacuously."""
+    import eynollah_spark.kernels.layout as L
+
+    monkeypatch.setattr(L, "_extend_box_span",
+                        lambda edges, trail, *a, **k: trail)
+    rows = []
+
+    def line(tag, x0, x1, y, h=20):
+        rows.append(("text", tag, x0, x1, y, y + h))
+
+    for i in range(30):
+        line(f"c1_{i:02d}", 100, 400, 100 + i * 45)
+    for i in range(26):
+        line(f"c2a_{i:02d}", 500, 800, 100 + i * 45)
+    for i in range(4):
+        line(f"c2b_{i:02d}", 500, 800, 1330 + i * 45)
+    for i in range(27):
+        line(f"c3a_{i:02d}", 900, 1200, 100 + i * 45)
+    for i in range(2):
+        line(f"sp_{i}", 800, 1150, 1350 + i * 30)
+    for i in range(3):
+        line(f"c3b_{i}", 900, 1200, 1530 + i * 45)
+    rows.append(("separator", None, 500, 800, 1295, 1303))
+    rows.append(("separator", None, 100, 1200, 1500, 1506))
+
+    d = _mk_doc(rows)
+    perm, _ = layout_document(d)
+    got = [d.text[i] for i in perm if d.text[i] is not None]
+    first = {}
+    for k, t in enumerate(got):
+        first.setdefault(t.split("_")[0], k)
+    order = sorted(first, key=first.get)
+    assert order != ["c1", "c2a", "c3a", "c2b", "sp", "c3b"], \
+        "fixture no longer exercises the get_span walk"

@@ -51,3 +51,44 @@ def test_machine_ro_matches_oracle_on_single_column(spark):
     diff = got.exceptAll(exp).count() + exp.exceptAll(got).count()
     flat.unpersist()
     assert diff == 0
+
+
+def test_dilated_grouping_caps_pairwise_batches():
+    """r2 VERDICT item 8: pages with many regions group into super-regions
+    first (eynollah.py:1661-1722 dilation pre-step), so the pairwise loop
+    runs over k supers, not n regions — bounded scorer batches on
+    pathological pages. Expansion by cy must preserve the column order."""
+    import numpy as np
+
+    from eynollah_spark.mb_reading_order import (
+        HeuristicPairScorer,
+        order_regions_grouped,
+        order_regions_pairwise,
+    )
+
+    class CountingScorer(HeuristicPairScorer):
+        calls = 0
+
+        def score(self, geom, i, j, rtl=False):
+            CountingScorer.calls += 1
+            return super().score(geom, i, j, rtl=rtl)
+
+    # 2 columns x 20 stacked same-width regions
+    g = []
+    for cx in (250.0, 750.0):
+        for r in range(20):
+            g.append((cx, 100.0 + 70 * r, 300.0, 50.0))
+    geom = np.array(g)
+    sc = CountingScorer()
+    out = order_regions_grouped(geom, sc)
+    assert sorted(out) == list(range(40))
+    # column-major: all of column 1 (top-down) before column 2
+    assert out[:20] == list(range(20)) and out[20:] == list(range(20, 40))
+    # the pairwise loop saw only the 2 super-regions -> 1 pivot batch;
+    # ungrouped it would take ~n pivot batches
+    assert CountingScorer.calls <= 3, CountingScorer.calls
+
+    # small pages bypass grouping entirely (reference threshold 10)
+    CountingScorer.calls = 0
+    small = geom[:8]
+    assert order_regions_grouped(small, sc) == order_regions_pairwise(small, sc)

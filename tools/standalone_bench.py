@@ -63,7 +63,8 @@ def stop_cluster(procs):
             p.kill()
 
 
-def run_level(n_workers: int, corpus: str, zip_path: str) -> dict:
+def run_level(n_workers: int, corpus: str, zip_path: str,
+              presorted: bool = False) -> dict:
     procs = start_cluster(n_workers)
     try:
         worker = os.path.join(REPO, "eynollah_spark", "bench_worker.py")
@@ -78,6 +79,8 @@ def run_level(n_workers: int, corpus: str, zip_path: str) -> dict:
                "--py-files", zip_path, worker,
                "--cpus", str(n_workers * CORES_PER_EXEC),
                "--corpus", corpus, "--trials", "3"]
+        if presorted:
+            cmd.append("--presorted")
         env = dict(os.environ, PYTHONPATH=REPO, SPARK_LOCAL_IP="127.0.0.1")
         p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
         for line in p.stdout.splitlines():
@@ -89,21 +92,35 @@ def run_level(n_workers: int, corpus: str, zip_path: str) -> dict:
 
 
 def main():
+    """2/4/8-executor curve (r2 VERDICT item 1b), both the shuffled
+    standard path and the bucketed task-side-scan path."""
     corpus = sys.argv[1] if len(sys.argv) > 1 else None
     if corpus is None:
         from bench import ensure_corpus
         corpus = ensure_corpus(int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000")))
     from eynollah_spark.packaging import build_zip
     zip_path = build_zip()
-    lo = run_level(2, corpus, zip_path)
-    hi = run_level(8, corpus, zip_path)
-    eff = round((hi["docs_per_sec"] / lo["docs_per_sec"]) / 4, 3)
-    res = {"mode": "standalone-cluster", "executors_lo": 2, "executors_hi": 8,
-           "cores_per_executor": CORES_PER_EXEC,
-           "docs_per_sec_2exec": lo["docs_per_sec"],
-           "docs_per_sec_8exec": hi["docs_per_sec"],
-           "walls_lo": lo.get("extract_trials_sec"), "walls_hi": hi.get("extract_trials_sec"),
-           "checksum_match": lo["checksum"] == hi["checksum"],
+    curve, curve_pre, walls, checks = {}, {}, {}, []
+    for n in (2, 4, 8):
+        r = run_level(n, corpus, zip_path)
+        rp = run_level(n, corpus, zip_path, presorted=True)
+        curve[n] = r["docs_per_sec"]
+        curve_pre[n] = rp["docs_per_sec"]
+        walls[n] = {"standard": r.get("extract_trials_sec"),
+                    "bucketed": rp.get("extract_trials_sec")}
+        checks += [r["checksum"], rp["checksum"]]
+    eff = round((curve[8] / curve[2]) / 4, 3)
+    eff_pre = round((curve_pre[8] / curve_pre[2]) / 4, 3)
+    res = {"mode": "standalone-cluster", "cores_per_executor": CORES_PER_EXEC,
+           "curve_docs_per_sec": curve, "curve_bucketed_docs_per_sec": curve_pre,
+           "walls": walls,
+           "checksum_match": len(set(checks)) == 1,
+           "scaling_efficiency_2_to_8": eff,
+           "scaling_efficiency_bucketed_2_to_8": eff_pre,
+           # kept for older BENCH.md renderers
+           "executors_lo": 2, "executors_hi": 8,
+           "docs_per_sec_2exec": curve[2], "docs_per_sec_8exec": curve[8],
+           "walls_lo": walls[2]["standard"], "walls_hi": walls[8]["standard"],
            "scaling_efficiency": eff}
     print(json.dumps(res))
     with open(os.path.join(REPO, ".cache", "standalone_bench.json"), "w") as f:
