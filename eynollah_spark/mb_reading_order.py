@@ -183,6 +183,33 @@ def order_regions_grouped(geom: np.ndarray, scorer=None, rtl: bool = False,
     return out
 
 
+def order_doc_spans(x0, x1, y0, y1, off, rtl: bool, sc) -> np.ndarray:
+    """One document's machine reading order: cluster lines into regions,
+    order regions with the pairwise model, lines via D1. Array-slices
+    in, ordered input-index array out (no pandas). Module-level so the
+    driver-side oracle exporter can run the IDENTICAL sequential
+    reference the distributed path distributes."""
+    labels = cluster_lines_into_regions(x0, x1, y0, y1, rtl=rtl)
+    uniq = np.unique(labels)
+    geom = np.empty((len(uniq), 4))
+    members = []
+    for k, u in enumerate(uniq):
+        m = np.flatnonzero(labels == u)
+        members.append(m)
+        geom[k] = ((x0[m].min() + x1[m].max()) / 2.0,
+                   (y0[m].min() + y1[m].max()) / 2.0,
+                   x1[m].max() - x0[m].min(),
+                   y1[m].max() - y0[m].min())
+    region_order = order_regions_grouped(geom, sc, rtl=rtl)
+    out = []
+    for r in region_order:
+        m = members[r]
+        cx = (x0[m] + x1[m]) / 2.0
+        cy = (y0[m] + y1[m]) / 2.0
+        out.extend(m[order_lines_in_region(cx, cy, rtl, off[m])].tolist())
+    return np.asarray(out, dtype=np.int64)
+
+
 def machine_reading_order(flat: DataFrame, scorer=None,
                           buckets: int | None = None) -> DataFrame:
     """Alternative ordering path over flat span rows: cluster lines into
@@ -206,28 +233,6 @@ def machine_reading_order(flat: DataFrame, scorer=None,
         "doc_id", "offset", "x0", "x1", "y0", "y1", "rtl",
         F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("_bucket"))
 
-    def _one_doc(x0, x1, y0, y1, off, rtl, sc):
-        """Array-slices in, ordered input-index array out (no pandas)."""
-        labels = cluster_lines_into_regions(x0, x1, y0, y1, rtl=rtl)
-        uniq = np.unique(labels)
-        geom = np.empty((len(uniq), 4))
-        members = []
-        for k, u in enumerate(uniq):
-            m = np.flatnonzero(labels == u)
-            members.append(m)
-            geom[k] = ((x0[m].min() + x1[m].max()) / 2.0,
-                       (y0[m].min() + y1[m].max()) / 2.0,
-                       x1[m].max() - x0[m].min(),
-                       y1[m].max() - y0[m].min())
-        region_order = order_regions_grouped(geom, sc, rtl=rtl)
-        out = []
-        for r in region_order:
-            m = members[r]
-            cx = (x0[m] + x1[m]) / 2.0
-            cy = (y0[m] + y1[m]) / 2.0
-            out.extend(m[order_lines_in_region(cx, cy, rtl, off[m])].tolist())
-        return np.asarray(out, dtype=np.int64)
-
     def fn(bucket: pd.DataFrame) -> pd.DataFrame:
         """Dictionary-encode + contiguous-run slicing (the main kernel's
         pattern, r2 VERDICT item 8): ONE numpy conversion per bucket and
@@ -250,8 +255,8 @@ def machine_reading_order(flat: DataFrame, scorer=None,
         ends = np.concatenate((change, [len(codes)]))
         id_l, ord_l, off_l = [], [], []
         for s, e in zip(starts, ends):
-            sub = _one_doc(x0[s:e], x1[s:e], y0[s:e], y1[s:e], off[s:e],
-                           bool(rtl[s]), sc) + s
+            sub = order_doc_spans(x0[s:e], x1[s:e], y0[s:e], y1[s:e],
+                                  off[s:e], bool(rtl[s]), sc) + s
             id_l.append(np.full(e - s, ids[s], dtype=object))
             ord_l.append(np.arange(e - s, dtype=np.int32))
             off_l.append(off[sub].astype(np.int32))

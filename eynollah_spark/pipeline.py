@@ -494,6 +494,8 @@ _SCAN_COLS_NARROW = ["doc_id", "width", "height", "rtl", "kind",
 
 def extract_from_parquet_files(spark, paths: list[str], partitions: int | None = None,
                                include_payload: bool = True,
+                               write_dir: str | None = None,
+                               stats_only: bool = False,
                                fail_fast: bool = True) -> DataFrame:
     """Task-side columnar scan extraction — the bucketed-table fast path
     taken to its logical end (zero JVM row conversion on the input side).
@@ -523,21 +525,48 @@ def extract_from_parquet_files(spark, paths: list[str], partitions: int | None =
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ntasks = min(len(paths), max(partitions, 1))
-    cols = _SCAN_COLS_NARROW + (["text", "media_ref"] if include_payload else [])
+    full = include_payload or write_dir is not None
+    cols = _SCAN_COLS_NARROW + (["text", "media_ref"] if full else [])
+    narrow_names = ["doc_id", "ord", "kind", "offset"]
 
     def gen(batches):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        kern = make_partition_arrow_kernel(include_payload=include_payload,
+        kern = make_partition_arrow_kernel(include_payload=full,
                                            fail_fast=fail_fast)
         for b in batches:
             for tid in b.column(0).to_pylist():
-                for fp in paths[int(tid)::ntasks]:
+                n_task = 0
+                for k, fp in enumerate(paths[int(tid)::ntasks]):
                     t = pq.read_table(fp, columns=cols)
-                    yield from kern(iter(t.to_batches()))
+                    outs = list(kern(iter(t.to_batches())))
+                    if write_dir is not None and outs:
+                        # task-side columnar WRITE (the sink mirror of the
+                        # task-side scan): the full ordered output lands
+                        # as one doc-complete file per input file. At
+                        # 100 TB this is the object-store write the job
+                        # actually ships, with a manifest row per file
+                        # for resume.
+                        pq.write_table(pa.Table.from_batches(outs),
+                                       f"{write_dir}/part-{int(tid)}-{k}.parquet")
+                    if stats_only:
+                        n_task += sum(ob.num_rows for ob in outs)
+                    elif write_dir is not None and not include_payload:
+                        for ob in outs:
+                            yield ob.select(narrow_names)
+                    else:
+                        yield from outs
+                if stats_only:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([n_task], type=pa.int64())], names=["n_rows"])
 
-    out_schema = (FLAT_OUT_SCHEMA if include_payload
-                  else "doc_id string, ord int, kind string, offset int")
+    if stats_only:
+        out_schema = "n_rows long"
+    elif include_payload:
+        out_schema = FLAT_OUT_SCHEMA
+    else:
+        out_schema = "doc_id string, ord int, kind string, offset int"
     ids = spark.range(0, ntasks, 1, ntasks)
     return ids.mapInArrow(gen, schema=out_schema)
 

@@ -713,6 +713,89 @@ FROM shingles GROUP BY doc_id
 """)
 # rolling-hash document fingerprint (winnowing min over shingle hashes).
 
+
+def _boiler_sql(d):
+    """Sub-document boilerplate detection (standard pipeline op: repeated
+    passages — headers, license blurbs — removed before training). Docs
+    chunk into disjoint 2-word windows (the fixture vocab is ~40 words;
+    real deployments use 8-16-word windows); a chunk seen in >= 16 distinct
+    docs is boilerplate; emit per-doc boilerplate chunk count + fraction.
+    Chunking is a projection (no self-join on raw chunks: the grouped
+    chunk table is the only shuffle beyond the final per-doc agg)."""
+    if d == "spark":
+        words = "split(text, ' ')"
+        chunks = ("LATERAL VIEW explode(transform(sequence(0, size(words) DIV 2 - 1), "
+                  "i -> array_join(slice(words, i*2 + 1, 2), ' '))) t AS chunk")
+        guard = "size(words) >= 2"
+    else:
+        words = "string_split(text, ' ')"
+        chunks = (", UNNEST(list_transform(range(0, CAST(len(words) // 2 AS BIGINT)), "
+                  "i -> array_to_string(words[i*2 + 1 : i*2 + 2], ' '))) AS t(chunk)")
+        guard = "len(words) >= 2"
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+c AS (
+  SELECT w.doc_id, t.chunk FROM w {chunks}
+  WHERE {guard}
+),
+rep AS (
+  SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 16
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(r.chunk) AS BIGINT) AS n_boiler,
+       ROUND(CAST(COUNT(r.chunk) AS DOUBLE) / COUNT(*), 4) AS boiler_frac
+FROM c LEFT JOIN rep r ON c.chunk = r.chunk
+GROUP BY c.doc_id
+"""
+
+_both("dedup_boilerplate_chunks", ("documents",), _boiler_sql)
+# sub-document (passage-level) dedup: the training-data op exact/MinHash
+# doc dedup does not cover — repeated boilerplate inside otherwise-unique
+# docs. Chunk inventory is bounded (disjoint-stride windows), the
+# repeated-chunk dim table is grouped before joining back per doc.
+
+_both("text_domain_mix", ("documents",), lambda d: """
+WITH per AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+tot AS (SELECT source, SUM(n) AS tot FROM per GROUP BY source)
+SELECT p.source, CAST(t.tot AS BIGINT) AS n_docs, CAST(COUNT(*) AS INT) AS n_langs,
+       ROUND(-SUM(CAST(p.n AS DOUBLE) / t.tot * LN(CAST(p.n AS DOUBLE) / t.tot)), 4)
+         AS lang_entropy
+FROM per p JOIN tot t ON p.source = t.source
+GROUP BY p.source, t.tot
+""")
+# corpus-composition report (domain/language mix + entropy per source) —
+# the curation dashboard op behind source reweighting decisions; two
+# grouped aggregates, no per-doc work.
+
+_both("events_funnel", ("events",), lambda d: """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'view>click' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM c
+UNION ALL
+SELECT 'view>click>purchase' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+""")
+# sequential funnel (ordered-event conversion): per-user min-ts chaining,
+# three grouped joins on user_id — no window scan of the full event log.
+
 # --- C. similarity search over embeddings ------------------------------------
 
 def _sim_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,8 +1243,9 @@ def _extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.corpus import corpus_flat_spark, nest_corpus
 
     n = max(200, int(100_000 * sf_of(sf_dir)))
-    if abs(sf_of(sf_dir) - 0.01) < 1e-9:
-        _export_corpus_flat(n, ("doc_id", "kind"), "images_corpus")
+    # export at EVERY sf (not just the driver's 0.01): the oracle must
+    # always describe the corpus the Spark side is about to compute on
+    _export_corpus_flat(n, ("doc_id", "kind"), "images_corpus")
     docs = nest_corpus(corpus_flat_spark(spark, n))
     per = docs.select(
         "doc_id",
@@ -1210,15 +1294,63 @@ FROM r
 # window-function plan, expressed identically in both dialects over the
 # synthesized lines table (oracle-checked; VERDICT r1 item 9).
 
+def _export_machine_ro_truth(n: int) -> None:
+    """Sequential driver-side reference for B14: the IDENTICAL per-doc
+    ordering function the distributed path uses (order_doc_spans), run
+    in a plain python loop over the generated corpus — no Spark — and
+    exported to parquet. The DuckDB oracle aggregates it with its own
+    md5 fingerprint, so the check verifies that the bucketed
+    applyInPandas path (hash bucketing, factorize + contiguous-run
+    slicing, Arrow transport) reproduces the sequential reference row
+    for row at whatever sf the query runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eynollah_spark.corpus import gen_corpus_flat
+    from eynollah_spark.mb_reading_order import (
+        HeuristicPairScorer,
+        order_doc_spans,
+    )
+
+    flat, _metas = gen_corpus_flat(n)
+    mask = flat["kind"] == "text"
+    doc = flat["doc_id"][mask]
+    x0 = flat["x0"][mask].astype(float)
+    x1 = flat["x1"][mask].astype(float)
+    y0 = flat["y0"][mask].astype(float)
+    y1 = flat["y1"][mask].astype(float)
+    off = flat["offset"][mask].astype(np.int64)
+    rtl = flat["rtl"][mask]
+    sc = HeuristicPairScorer()
+    id_l, ord_l, off_l = [], [], []
+    for d in np.unique(doc):
+        m = np.flatnonzero(doc == d)
+        perm = order_doc_spans(x0[m], x1[m], y0[m], y1[m], off[m],
+                               bool(rtl[m[0]]), sc)
+        id_l.append(np.full(len(m), d, dtype=object))
+        ord_l.append(np.arange(len(m), dtype=np.int32))
+        off_l.append(off[m][perm].astype(np.int32))
+    _os.makedirs(_ORACLE_EXPORT_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.concatenate(id_l).tolist(),
+                                     type=pa.string()),
+                  "ord": pa.array(np.concatenate(ord_l)),
+                  "offset": pa.array(np.concatenate(off_l))}),
+        _os.path.join(_ORACLE_EXPORT_DIR, "machine_ro_truth.parquet"))
+
+
 def _extract_machine_ro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14 pairwise-model reading order (optional ML path) over the
-    corpus, fingerprinted per doc bucket for the pinned oracle."""
+    corpus, fingerprinted per doc bucket against the driver-side
+    sequential reference export."""
     from pyspark.sql import functions as F
 
     from eynollah_spark.corpus import corpus_flat_spark
     from eynollah_spark.mb_reading_order import machine_reading_order
 
     n = max(100, int(20_000 * sf_of(sf_dir)))
+    _export_machine_ro_truth(n)
     out = machine_reading_order(
         corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank"))
     fp = F.expr("CAST(conv(substr(md5(CONCAT(doc_id, ':', CAST(ord AS STRING), "
@@ -1228,10 +1360,18 @@ def _extract_machine_ro(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_rows"),
                  F.sum(fp).cast("bigint").alias("fp_sum")))
 
-_fn("extract_machine_reading_order", (), _extract_machine_ro, duck_sql="""
-SELECT CAST(bucket AS INT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
-       CAST(fp_sum AS BIGINT) AS fp_sum
-FROM (VALUES {PIN_extract_machine_reading_order}) AS t(bucket, n_rows, fp_sum)
+_fn("extract_machine_reading_order", (), _extract_machine_ro, duck_sql=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(CONCAT(doc_id, ':',
+              CAST(ord AS VARCHAR), ':', CAST("offset" AS VARCHAR))),
+              1, 8)) AS BIGINT) AS fp
+  FROM read_parquet('{_ORACLE_EXPORT_DIR}/machine_ro_truth.parquet')
+)
+SELECT CAST(CAST(substr(doc_id, 4, 8) AS INT) % 10 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(fp) AS BIGINT) AS fp_sum
+FROM t GROUP BY 1
 """)
 
 def _extract_refine_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1246,10 +1386,9 @@ def _extract_refine_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.scorer import refine_kinds
 
     n = max(200, int(50_000 * sf_of(sf_dir)))
-    if abs(sf_of(sf_dir) - 0.01) < 1e-9:
-        _export_corpus_flat(
-            n, ("doc_id", "kind", "offset", "x0", "x1", "y0", "y1",
-                "width", "height"), "headings_corpus")
+    _export_corpus_flat(
+        n, ("doc_id", "kind", "offset", "x0", "x1", "y0", "y1",
+            "width", "height"), "headings_corpus")
     flat = (corpus_flat_spark(spark, n).drop("expected_kind", "expected_rank")
             .filter(F.col("offset") >= 0))  # drop empty-doc marker rows
     return refine_kinds(flat).groupBy("kind").agg(F.count("*").cast("bigint").alias("n"))
@@ -1320,8 +1459,7 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.multimodal import decode_and_embed, synth_media_table
 
     n = max(64, int(10_000 * sf_of(sf_dir)))
-    if abs(sf_of(sf_dir) - 0.01) < 1e-9:
-        _export_media_truth(n)
+    _export_media_truth(n)
     out = decode_and_embed(synth_media_table(spark, n))
     return out.agg(F.count("*").cast("bigint").alias("n_rows"),
                    F.sum("width").cast("bigint").alias("w_sum"),
@@ -1340,21 +1478,8 @@ FROM read_parquet('{_ORACLE_EXPORT_DIR}/media_truth.parquet')
 # --------------------------------------------------------------------------
 
 def registry():
-    """Query registry with pinned-oracle substitution: duck_sql templates
-    containing {PIN_<name>} get the precomputed VALUES rows from
-    eynollah_spark._pins (written by tools/pin_oracles.py); if a pin is
-    missing the query degrades to rows-only (duck_sql=None)."""
-    try:
-        from eynollah_spark._pins import PINS
-    except ImportError:
-        PINS = {}
-    out = {}
-    for name, q in _Q.items():
-        ds = q.get("duck_sql")
-        if ds and "{PIN_" in ds:
-            q = dict(q)
-            key = f"PIN_{name}"
-            q["duck_sql"] = (ds.replace("{" + key + "}", PINS[key])
-                             if key in PINS else None)
-        out[name] = q
-    return out
+    """Query registry. Every entry is oracle-checked: generator-backed
+    queries export their truth driver-side (pyarrow, no Spark) inside
+    the query fn, so the DuckDB side is always fresh at whatever sf the
+    query runs — no pinned constants remain."""
+    return dict(_Q)

@@ -99,3 +99,26 @@ def test_ann_recall_on_planted_clusters():
     assert len(planted_in_exact) >= 12, planted_in_exact
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.95, recall
+
+
+def test_boilerplate_chunks_discriminate(con):
+    """Sub-document boilerplate op must separate docs, not saturate: the
+    corpus yields a spread of boilerplate fractions (mean ~0.5), with
+    fractions strictly between 0 and 1 present."""
+    rows = _rows(con, "dedup_boilerplate_chunks")
+    fracs = [r[3] for r in rows]
+    assert len(rows) >= 100
+    assert 0.2 < sum(fracs) / len(fracs) < 0.8
+    assert any(0.0 < f < 1.0 for f in fracs)
+
+
+def test_events_funnel_monotone_and_discriminating(con):
+    """Funnel counts must be monotone non-increasing and each step must
+    actually filter (vacuous all-equal steps would mean the window rule
+    never engaged)."""
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    rows = dict((s, n) for s, n in c.sql(
+        registry()["events_funnel"]["duck_sql"]).fetchall())
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
+    assert rows["view"] > rows["view>click"] > rows["view>click>purchase"] >= 0

@@ -102,3 +102,24 @@ def test_spark_pagexml_df(spark):
         n_out = out.filter(F.col("doc_id") == some[:-4]).count()
         assert len(back.expected) == n_out
     flat.unpersist()
+
+
+def test_hostile_doc_id_quoting_and_path_sanitization(tmp_path):
+    """ADVICE r2: a doc_id containing double quotes must not break XML
+    attributes, and path separators must not escape the output dir."""
+    import xml.etree.ElementTree as ET
+
+    from eynollah_spark.pagexml import doc_to_pagexml
+
+    doc_id = 'evil"doc/../x'
+    xml = doc_to_pagexml(doc_id, 100, 100, ["text"], ["hi"], [None], [0],
+                         [1], [50], [1], [20],
+                         image_filename='a"b.tif')
+    root = ET.fromstring(xml)  # raises on malformed attributes
+    assert root.attrib["pcGtsId"] == f"pc-{doc_id}"
+
+    # directory sink: the file must land INSIDE out_dir
+    import os
+    import re
+    stem = re.sub(r"[/\\\x00]|\.\.", "_", doc_id)
+    assert "/" not in stem and ".." not in stem

@@ -135,3 +135,41 @@ def test_extract_full_layout_chain(spark):
     assert kinds <= {"text", "heading", "drop-capital", "marginalia",
                      "image", "separator", "table"}
     out.unpersist()
+
+
+def test_task_side_scan_and_write_match_standard_path(spark, tmp_path):
+    """The task-side columnar scan path (extract_from_parquet_files) and
+    its task-side write sink must reproduce the standard shuffled path's
+    output row for row, and stats_only counts must reconcile."""
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pipeline import extract_flat_input, extract_from_parquet_files
+
+    corpus_dir = str(tmp_path / "corpus")
+    (corpus_flat_spark(spark, 80, partitions=4)
+     .drop("expected_kind", "expected_rank")
+     .repartition(6, F.xxhash64("doc_id"))
+     .write.parquet(corpus_dir))
+    import glob
+    files = sorted(glob.glob(corpus_dir + "/*.parquet"))
+    flat = spark.read.parquet(corpus_dir)
+
+    std = extract_flat_input(flat, partitions=4)
+    fast = extract_from_parquet_files(spark, files, partitions=4)
+    cols = ["doc_id", "ord", "kind", "text", "media_ref", "offset"]
+    a = sorted(map(tuple, std.select(cols).collect()))
+    b = sorted(map(tuple, fast.select(cols).collect()))
+    assert a == b
+
+    out_dir = str(tmp_path / "written")
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    stats = extract_from_parquet_files(spark, files, partitions=4,
+                                       include_payload=False,
+                                       write_dir=out_dir, stats_only=True)
+    n = stats.agg(F.sum("n_rows").alias("n")).first()["n"]
+    written = spark.read.parquet(out_dir)
+    assert written.count() == n == len(a)
+    c = sorted(map(tuple, written.select(cols).collect()))
+    assert c == a
