@@ -1475,6 +1475,91 @@ FROM read_parquet('{_ORACLE_EXPORT_DIR}/media_truth.parquet')
 """)
 
 
+def _subline_split_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 analogue (separate_lines.py:33-140): sub-line segmentation of
+    tall multi-line spans by vertical-profile valley analysis. Spark
+    synthesizes a deterministic line grid per document (pitch 30, height
+    20) plus ONE tall span covering k = 2 + doc_id%3 rows, then runs the
+    real profile kernel (kernels/sublines.py) per doc inside bucketed
+    applyInPandas; the oracle states the expected cuts analytically
+    (grid positions), so a kernel that miscounts runs or misplaces a
+    boundary by 1 px fails the hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    load_views(spark, sf_dir, "documents")
+    lines = spark.sql("""
+WITH rows_ AS (
+  SELECT doc_id, explode(sequence(0, CAST(5 + doc_id % 5 AS INT))) AS r
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, CAST(r AS INT) AS line_id,
+         CAST(80 + r*30 AS INT) AS y0, CAST(100 + r*30 AS INT) AS y1
+  FROM rows_
+),
+tall AS (
+  SELECT doc_id, 1000 AS line_id, 140 AS y0,
+         CAST(100 + (3 + doc_id % 3)*30 AS INT) AS y1
+  FROM documents
+)
+SELECT * FROM norm UNION ALL SELECT * FROM tall
+""")
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from eynollah_spark.kernels.sublines import split_tall_spans
+
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "line_id": pd.Series([], dtype="int32"),
+                                 "sub_idx": pd.Series([], dtype="int32"),
+                                 "sy0": pd.Series([], dtype="int32"),
+                                 "sy1": pd.Series([], dtype="int32")})
+        codes, _u = pd.factorize(b["doc_id"], sort=True)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        doc = b["doc_id"].to_numpy(np.int64)[order]
+        lid = b["line_id"].to_numpy(np.int32)[order]
+        y0 = b["y0"].to_numpy(np.int64)[order]
+        y1 = b["y1"].to_numpy(np.int64)[order]
+        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(codes)]))
+        d_l, l_l, j_l, a_l, b_l = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            idx, sub, s0, s1 = split_tall_spans(y0[s:e], y1[s:e])
+            d_l.append(np.full(len(idx), doc[s], dtype=np.int64))
+            l_l.append(lid[s:e][idx])
+            j_l.append(sub)
+            a_l.append(s0.astype(np.int32))
+            b_l.append(s1.astype(np.int32))
+        return pd.DataFrame({
+            "doc_id": np.concatenate(d_l), "line_id": np.concatenate(l_l),
+            "sub_idx": np.concatenate(j_l),
+            "sy0": np.concatenate(a_l), "sy1": np.concatenate(b_l)})
+
+    return (lines
+            .withColumn("_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
+            .groupBy("_bucket")
+            .applyInPandas(fn, schema="doc_id bigint, line_id int, "
+                                      "sub_idx int, sy0 int, sy1 int"))
+
+_fn("ro_subline_split", ("documents",), _subline_split_spark, duck_sql="""
+WITH t AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+s AS (SELECT doc_id, k, unnest(range(0, k)) AS j FROM t)
+SELECT doc_id, CAST(1000 AS INT) AS line_id, CAST(j AS INT) AS sub_idx,
+       CAST(140 + j*30 AS INT) AS sy0,
+       CAST(CASE WHEN j < k - 1 THEN 170 + j*30
+                 ELSE 100 + (k + 1)*30 END AS INT) AS sy1
+FROM s
+""")
+# C18 analogue: the oracle is the analytic line grid; only a profile
+# kernel that finds every covered-run boundary exactly reproduces it.
+
+
 # --------------------------------------------------------------------------
 
 def registry():
