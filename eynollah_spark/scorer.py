@@ -348,6 +348,80 @@ class FillTextScorer:
         return out
 
 
+def load_char_lm(path: str | None = None) -> dict:
+    """Load the trained B15 character LM (tools/train_char_lm.py) —
+    alphabet + bigram log-probs + word-start distribution."""
+    import os
+
+    path = path or os.path.join(os.path.dirname(__file__), "models",
+                                "char_bigram_lm.npz")
+    z = np.load(path)
+    return {"alphabet": str(z["alphabet"]), "logp": z["logp"],
+            "start": z["start"]}
+
+
+class CharLMTextScorer(FillTextScorer):
+    """Model-backed B15/B16 fill: a character LM trained on the corpus
+    text distribution (tools/train_char_lm.py) decodes each missing span
+    deterministically (per-span LCG seed from doc_id#offset), so filled
+    text carries corpus statistics instead of a placeholder tag. The
+    decode is vectorized across the batch's missing spans — one
+    cumulative-probability table lookup per character step, never a
+    per-row python loop (the reference's batched CTC decode analogue,
+    eynollah_ocr.py:269-640 / utils_ocr.py:14-38)."""
+
+    _MUL, _INC = 6364136223846793005, 1442695040888963407
+
+    def __init__(self, weights=None, weights_broadcast=None):
+        super().__init__(weights_broadcast=weights_broadcast)
+        self._w = weights
+
+    @property
+    def model(self):
+        if self._w is None:
+            self._w = self._bc.value if self._bc is not None else load_char_lm()
+        return self._w
+
+    def _decode(self, seeds: np.ndarray, length: int = 24) -> list[str]:
+        m = self.model
+        alphabet = m["alphabet"]
+        cum = np.cumsum(np.exp(m["logp"]), axis=1)
+        cum /= cum[:, -1:]
+        cstart = np.cumsum(m["start"])
+        cstart /= cstart[-1]
+        mul = np.uint64(self._MUL)
+        inc = np.uint64(self._INC)
+        s = seeds.astype(np.uint64) * mul + inc
+        u = (s >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        state = np.searchsorted(cstart, u)
+        chars = [state]
+        for _step in range(1, length):
+            s = s * mul + inc
+            u = (s >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            state = (cum[state] < u[:, None]).sum(axis=1)
+            chars.append(state)
+        grid = np.stack(chars, axis=1)  # k x length of alphabet indices
+        lut = np.array(list(alphabet))
+        # spans are line-granular: newlines learned from the corpus join
+        # become spaces in a single-line fill
+        return [" ".join("".join(row).split()) or "x" for row in lut[grid]]
+
+    def fill_batch(self, pdf: pd.DataFrame) -> pd.Series:
+        import hashlib
+
+        missing = (pdf["kind"] == "text") & pdf["text"].isna()
+        out = pdf["text"].copy()
+        if missing.any():
+            seeds = np.array(
+                [int.from_bytes(hashlib.sha256(f"{d}#{o}".encode())
+                                .digest()[:8], "big")
+                 for d, o in zip(pdf.loc[missing, "doc_id"],
+                                 pdf.loc[missing, "offset"])],
+                dtype=np.uint64)
+            out[missing] = self._decode(seeds)
+        return out
+
+
 def fill_missing_text(flat: DataFrame, scorer=None) -> DataFrame:
     """Apply the OCR hook over flat span rows (text spans with NULL text
     get content from the scorer; everything else passes through)."""
