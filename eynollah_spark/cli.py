@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("--input", required=True, help="flat span parquet")
     p.add_argument("--output", required=True, help="directory for <doc_id>.xml")
 
+    p = sub.add_parser("process", help="F7: PAGE-XML workspace in -> "
+                       "reading-ordered PAGE-XML out (resumable)")
+    p.add_argument("--input", required=True, help="directory of *.xml pages")
+    p.add_argument("--output", required=True, help="output page directory")
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -103,6 +108,14 @@ def main(argv=None):
             fn = multimodal.binarize if args.cmd == "binarize" else multimodal.enhance
             fn(media).write.mode("overwrite").parquet(args.output)
             print(json.dumps({"ok": True, "output": args.output}))
+        elif args.cmd == "process":
+            from eynollah_spark.processor import SparkLayoutProcessor
+
+            proc = SparkLayoutProcessor(spark)
+            proc.setup()
+            n = proc.process_workspace(args.input, args.output)
+            print(json.dumps({"ok": True, "pages_written": n,
+                              "output": args.output}))
         elif args.cmd == "page-xml":
             from eynollah_spark.pagexml import (attach_geometry, to_pagexml_df,
                                                 write_pagexml_dir)

@@ -190,14 +190,18 @@ def write_pagexml_dir(xml_df: DataFrame, out_dir: str) -> int:
     a shared filesystem; at object-store scale keep the (doc_id, xml)
     table instead."""
     os.makedirs(out_dir, exist_ok=True)
+    acc = xml_df.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows):
+        n = 0
         for r in rows:
             # sanitize: a doc_id containing a path separator (or '..')
             # must not escape out_dir
             stem = re.sub(r"[/\\\x00]|\.\.", "_", str(r["doc_id"]))
             with open(os.path.join(out_dir, f"{stem}.xml"), "w") as f:
                 f.write(r["xml"])
+            n += 1
+        acc.add(n)
 
     xml_df.foreachPartition(write_part)
-    return 0
+    return acc.value
