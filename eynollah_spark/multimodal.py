@@ -89,6 +89,39 @@ def decode_and_embed(media: DataFrame) -> DataFrame:
         kernel, schema=DECODED_SCHEMA)
 
 
+VARIANT_SCHEMA = ("media_ref string, variant string, width int, height int, "
+                  "mean_luma double")
+
+
+def variant_cache(media: DataFrame, target_w: int = 2000) -> DataFrame:
+    """A2 (eynollah.py:150-235: the `_resized`/autosized image-variant
+    cache, computed once per page and reused by every later stage):
+    decode each UNIQUE media payload once — `dropDuplicates` on
+    media_ref BEFORE the decode, so spans referencing the same media N
+    times cost one decode — and emit two variant rows per media: the
+    original dims and the aspect-preserving resize to `target_w` (the
+    B6 autosize width). Downstream stages join this table back on
+    media_ref; the decode-once/join-back plan is the cluster-scale
+    replacement for the reference's in-memory per-page cache."""
+    uniq = media.select("media_ref", "payload").dropDuplicates(["media_ref"])
+    dec = decode_and_embed(uniq)
+    # both variants in ONE projection pass: a union of two selects over
+    # `dec` would duplicate the decode subtree in the physical plan
+    # (Spark re-executes multiply-referenced subplans)
+    v = F.explode(F.array(
+        F.struct(F.lit("orig").alias("variant"),
+                 F.col("width").alias("width"),
+                 F.col("height").alias("height")),
+        F.struct(F.lit("resized").alias("variant"),
+                 F.lit(target_w).cast("int").alias("width"),
+                 F.expr(f"CAST({target_w} * height DIV width AS INT)")
+                 .alias("height")),
+    )).alias("v")
+    return (dec.select("media_ref", "mean_luma", v)
+            .select("media_ref", "v.variant", "v.width", "v.height",
+                    "mean_luma"))
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_ref, frame_ts) —
     pure relational explode of the sampling grid; the decode of each

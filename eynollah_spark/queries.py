@@ -1466,6 +1466,36 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("height").cast("bigint").alias("h_sum"),
                    F.round(F.sum("mean_luma"), 2).alias("luma_sum"))
 
+def _multimodal_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 variant cache through the real operator. The input media table
+    is deliberately DUPLICATED (union with itself), so the query also
+    verifies the decode-once dedup: output must still be exactly two
+    variant rows per unique media_ref, matching the per-media truth the
+    driver computed locally."""
+    from eynollah_spark.multimodal import synth_media_table, variant_cache
+
+    n = max(64, int(10_000 * sf_of(sf_dir)))
+    _export_media_truth(n)
+    media = synth_media_table(spark, n)
+    return variant_cache(media.unionByName(media))
+
+_fn("multimodal_variant_cache", (), _multimodal_variants, duck_sql=f"""
+WITH t AS (
+  SELECT media_ref, width, height, mean_luma
+  FROM read_parquet('{_ORACLE_EXPORT_DIR}/media_truth.parquet')
+)
+SELECT media_ref, 'orig' AS variant, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, mean_luma
+FROM t
+UNION ALL
+SELECT media_ref, 'resized' AS variant, CAST(2000 AS INT) AS width,
+       CAST(2000 * height // width AS INT) AS height, mean_luma
+FROM t
+""")
+# A2 (eynollah.py:150-235): image-variant cache — decode each unique
+# payload once, original + autosized variant rows, joined back by ref.
+
+
 _fn("multimodal_decode_embed", (), _multimodal_decode, duck_sql=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(width) AS BIGINT) AS w_sum,
@@ -1546,6 +1576,57 @@ SELECT * FROM norm UNION ALL SELECT * FROM tall
             .groupBy("_bucket")
             .applyInPandas(fn, schema="doc_id bigint, line_id int, "
                                       "sub_idx int, sy0 int, sy1 int"))
+
+_RESIZE_INPUT = """
+SELECT doc_id,
+       CAST(1 + doc_id % 6 AS INT)                  AS num_col,
+       CAST(700 + (doc_id * 137) % 7000 AS INT)     AS width_early,
+       CAST(1000 + (doc_id * 251) % 9000 AS INT)    AS height_early,
+       CAST(doc_id % 20 AS DOUBLE) / 20 + 0.05      AS conf_col
+FROM documents
+"""
+
+
+def _resize_policy_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 autosizing policy through the real column-math operator
+    (scorer.resize_policy_by_columns); the oracle transcribes
+    eynollah.py:236-287 directly in SQL."""
+    load_views(spark, sf_dir, "documents")
+    from eynollah_spark.scorer import resize_policy_by_columns
+
+    return (resize_policy_by_columns(spark.sql(_RESIZE_INPUT))
+            .select("doc_id", "num_col", "new_w", "new_h", "resized"))
+
+_fn("ro_resize_policy", ("documents",), _resize_policy_spark, duck_sql=f"""
+WITH p AS ({_RESIZE_INPUT}),
+w AS (
+  SELECT *, CASE
+    WHEN num_col = 1 AND (width_early < 1100 OR width_early >= 2500) THEN 2000
+    WHEN num_col = 2 AND (width_early < 2000 OR width_early >= 3500) THEN 2400
+    WHEN num_col = 3 AND (width_early < 2000 OR width_early >= 4000) THEN 3000
+    WHEN num_col = 4 AND (width_early < 2500 OR width_early >= 5000) THEN 4000
+    WHEN num_col = 5 AND (width_early < 3700 OR width_early >= 7000) THEN 5000
+    WHEN num_col = 6 AND width_early < 4500 THEN 6500
+    ELSE width_early END AS w_new
+  FROM p
+),
+h AS (SELECT *, CAST(w_new * height_early // width_early AS INT) AS h_new FROM w),
+r AS (
+  SELECT *, NOT ((conf_col < 0.9 AND w_new < width_early) OR h_new >= 8000)
+            AS resized
+  FROM h
+)
+SELECT doc_id, num_col,
+       CAST(CASE WHEN resized THEN w_new ELSE width_early END AS INT) AS new_w,
+       CAST(CASE WHEN resized THEN h_new ELSE height_early END AS INT) AS new_h,
+       resized
+FROM r
+""")
+# B6 (eynollah.py:236-287): resize-by-columns policy — the Spark side runs
+# the shipped operator, the oracle is an independent SQL transcription of
+# the reference's CASE ladder incl. the unconfident-downsample and
+# 8000-px-height guards.
+
 
 _fn("ro_subline_split", ("documents",), _subline_split_spark, duck_sql="""
 WITH t AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),

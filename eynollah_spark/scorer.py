@@ -439,6 +439,41 @@ def fill_missing_text(flat: DataFrame, scorer=None) -> DataFrame:
     return flat.mapInPandas(apply, schema=flat.schema)
 
 
+#: B6 resize-by-columns targets (eynollah.py:236-270): per column count,
+#: (low threshold, high threshold, target width) — widths outside
+#: [low, high) snap to the target, inside they stay as-is
+_RESIZE_RULES = {1: (1100, 2500, 2000), 2: (2000, 3500, 2400),
+                 3: (2000, 4000, 3000), 4: (2500, 5000, 4000),
+                 5: (3700, 7000, 5000)}
+
+
+def resize_policy_by_columns(df: DataFrame) -> DataFrame:
+    """B6 (eynollah.py:236-287 `calculate_width_height_by_columns`):
+    the autosizing policy ahead of model inference, as pure column math.
+    Input columns: num_col, width_early, height_early, conf_col.
+    Adds new_w, new_h, resized — with the reference's two guards:
+    never downsample when the column classifier is unconfident
+    (conf < 0.9), never produce a page taller than 8000 px."""
+    w, h, conf = F.col("width_early"), F.col("height_early"), F.col("conf_col")
+    target = F.col("width_early")
+    for n, (lo, hi, tgt) in sorted(_RESIZE_RULES.items(), reverse=True):
+        target = F.when((F.col("num_col") == n) & ((w < lo) | (w >= hi)),
+                        F.lit(tgt)).otherwise(target)
+    target = F.when((F.col("num_col") == 6) & (w < 4500), F.lit(6500)) \
+              .otherwise(target)
+    out = df.withColumn("_w_new", target.cast("int"))
+    h_new = F.expr("_w_new * height_early DIV width_early")
+    out = out.withColumn("_h_new", h_new.cast("int"))
+    resized = ~(((conf < 0.9) & (F.col("_w_new") < w))
+                | (F.col("_h_new") >= 8000))
+    return (out.withColumn("resized", resized)
+            .withColumn("new_w", F.when(resized, F.col("_w_new"))
+                        .otherwise(w).cast("int"))
+            .withColumn("new_h", F.when(resized, F.col("_h_new"))
+                        .otherwise(h).cast("int"))
+            .drop("_w_new", "_h_new"))
+
+
 def clamp_num_col(df: DataFrame, lower: int | None = None, upper: int | None = None) -> DataFrame:
     """B5 clamp (eynollah.py:411-416): bound a num_col column by CLI-style
     lower/upper hints — pure column math."""

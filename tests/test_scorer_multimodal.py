@@ -186,3 +186,54 @@ def test_binarize_enhance_kernels(spark):
     b2 = {r["media_ref"]: (r["threshold"], r["fg_ratio"]) for r in binarize(media).collect()}
     assert {r["media_ref"]: (r["threshold"], r["fg_ratio"]) for r in rows} == b2
     media.unpersist()
+
+
+def test_variant_cache_decodes_once_per_unique_ref(spark):
+    """A2: a media table with every ref duplicated must yield exactly 2
+    variant rows per UNIQUE ref (dedup before decode), and the physical
+    plan must contain exactly ONE decode stage (a union of projections
+    over the decoded table would re-execute the decode subtree)."""
+    from eynollah_spark.multimodal import synth_media_table, variant_cache
+
+    media = synth_media_table(spark, 12)
+    out = variant_cache(media.unionByName(media))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    rows = out.collect()
+    assert len(rows) == 24  # 12 unique refs x 2 variants
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, vs in by_ref.items():
+        assert sorted(v["variant"] for v in vs) == ["orig", "resized"]
+        orig = next(v for v in vs if v["variant"] == "orig")
+        res = next(v for v in vs if v["variant"] == "resized")
+        assert res["width"] == 2000
+        assert res["height"] == 2000 * orig["height"] // orig["width"]
+
+
+def test_resize_policy_matches_reference_rules(spark):
+    """B6 spot checks straight from eynollah.py:236-287."""
+    import pandas as pd
+
+    from eynollah_spark.scorer import resize_policy_by_columns
+
+    pdf = pd.DataFrame({
+        "num_col":      [1,    1,    2,    3,    5,    6,    4],
+        "width_early":  [900, 1500, 1800, 4200, 3000, 4000, 2400],
+        "height_early": [1200, 2000, 2400, 5600, 4000, 4000, 3500],
+        "conf_col":     [0.95, 0.95, 0.95, 0.5,  0.95, 0.95, 0.95],
+    })
+    out = {(r["num_col"], r["width_early"]): r for r in
+           resize_policy_by_columns(spark.createDataFrame(pdf)).collect()}
+    assert out[(1, 900)]["new_w"] == 2000 and out[(1, 900)]["resized"]
+    assert out[(1, 1500)]["new_w"] == 1500           # in-band: unchanged
+    assert out[(2, 1800)]["new_w"] == 2400
+    # unconfident downsample is refused (conf 0.5, target 3000 < 4200)
+    assert out[(3, 4200)]["new_w"] == 4200 and not out[(3, 4200)]["resized"]
+    assert out[(5, 3000)]["new_w"] == 5000
+    # 6500*4000//4000 = 6500 < 8000 -> resized (a taller page would trip
+    # the reference's 8000-px guard and stay unresized)
+    assert out[(6, 4000)]["new_w"] == 6500
+    # 4 cols, width < 2500 -> snap to 4000 (4000*3500//2400 = 5833 < 8000)
+    assert out[(4, 2400)]["new_w"] == 4000
