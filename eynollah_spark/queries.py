@@ -885,9 +885,15 @@ def _emb_nd_sql(d):
         base_v = "embedding::DOUBLE[]"
         pert_v = "list_transform(embedding::DOUBLE[], x -> x + 0.002)"
         cos = "list_cosine_similarity(ea.v, eb.v)"
-    tabs = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, v, {t} AS t, {_rh_bucket_expr(d, t)} AS bucket FROM emb"
-        for t in range(_LSH_TABLES))
+    # all 6 table buckets in ONE projection over ONE scan, unpivoted
+    # (a 6-way UNION ALL re-executes the emb subtree per branch)
+    bucket_exprs = ", ".join(_rh_bucket_expr(d, t) for t in range(_LSH_TABLES))
+    if d == "spark":
+        tabs = (f"  SELECT vec_id, v, posexplode(array({bucket_exprs})) "
+                "AS (t, bucket) FROM emb")
+    else:
+        tabs = (f"  SELECT vec_id, v, unnest(range(0, {_LSH_TABLES})) AS t, "
+                f"unnest([{bucket_exprs}]) AS bucket FROM emb")
     return f"""
 WITH emb AS (
   SELECT vec_id, {base_v} AS v FROM embeddings
@@ -938,9 +944,13 @@ def _xor(d, a, b):
 def _ann_topk_sql(d):
     base_v = ("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x)" if d == "spark"
               else "embedding::DOUBLE[]")
-    tabs = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, {t} AS t, {_rh_bucket_expr(d, t)} AS bucket FROM emb"
-        for t in range(_LSH_TABLES))
+    bucket_exprs = ", ".join(_rh_bucket_expr(d, t) for t in range(_LSH_TABLES))
+    if d == "spark":
+        tabs = (f"  SELECT vec_id, posexplode(array({bucket_exprs})) "
+                "AS (t, bucket) FROM emb")
+    else:
+        tabs = (f"  SELECT vec_id, unnest(range(0, {_LSH_TABLES})) AS t, "
+                f"unnest([{bucket_exprs}]) AS bucket FROM emb")
     # multi-probe (Lv et al., VLDB'07 idea, static schedule): probe the
     # query's own bucket plus every Hamming-distance-1 bucket — for
     # near-orthogonal neighbors (random unit 64-d: top-5 cosine ~0.2-0.4,
