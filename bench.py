@@ -32,7 +32,8 @@ HEADLINE = ("tpch_q1_pricing", "tpch_q3_topk", "dedup_minhash_bands",
             "dedup_embedding_neardup", "dedup_exact", "dedup_boilerplate_chunks",
             "sim_topk_cosine", "sim_ann_topk",
             "events_sessionize", "events_hourly_window", "events_funnel",
-            "ro_line_sort", "extract_reading_order")
+            "ro_line_sort", "ro_subline_split", "multimodal_variant_cache",
+            "extract_reading_order")
 
 
 def log(msg):

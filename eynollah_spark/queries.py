@@ -1217,9 +1217,20 @@ FROM (SELECT unnest(range(0, 10)) AS b)
 
 import os as _os
 
-_ORACLE_EXPORT_DIR = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    ".cache", "oracle_exports")
+
+def _repo_root() -> str:
+    """Repo root for driver-side oracle exports. Under spark-submit
+    --py-files this module's __file__ lives INSIDE the zip archive
+    (…/eynollah_spark.zip/eynollah_spark/queries.py — not a real
+    directory), so fall back to the env override, then the cwd."""
+    env = _os.environ.get("EYNOLLAH_SPARK_REPO")
+    if env:
+        return env
+    cand = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    return cand if _os.path.isdir(cand) else _os.getcwd()
+
+
+_ORACLE_EXPORT_DIR = _os.path.join(_repo_root(), ".cache", "oracle_exports")
 
 
 def _export_corpus_flat(n: int, columns: tuple, name: str) -> str:
