@@ -188,13 +188,11 @@ FROM hist
 
 _both("ro_deskew_argmax", ("documents",), lambda d: f"""
 WITH {_lines_cte(d)},
-angles AS (
-  SELECT {'explode(sequence(-5, 5))' if d == 'spark' else 'unnest(range(-5, 6))'} AS angle
-),
 scores AS (
   SELECT l.doc_id, a.angle,
          STDDEV_POP(l.cy * 10 + a.angle * l.cx) AS score
-  FROM lines l CROSS JOIN angles a
+  FROM lines l {'LATERAL VIEW explode(sequence(-5, 5)) a AS angle'
+                if d == 'spark' else ', UNNEST(range(-5, 6)) AS a(angle)'}
   GROUP BY l.doc_id, a.angle
 )
 SELECT doc_id, CAST(angle AS INT) AS best_angle
@@ -604,8 +602,7 @@ def _simhash_nd_sql(d):
     FROM glist g
     LATERAL VIEW explode(docs) A AS pa
     LATERAL VIEW explode(docs) B AS pb"""
-        shift, xr, gen = ("shiftright(simhash, CAST(15*c AS INT))", "sa ^ sb",
-                          "explode(sequence(0, 3))")
+        shift, xr = ("shiftright(simhash, CAST(15*c AS INT))", "sa ^ sb")
     else:
         explode = """
     SELECT CAST(str_split(ta.pa, ':')[1] AS BIGINT) AS doc_a,
@@ -613,13 +610,14 @@ def _simhash_nd_sql(d):
            CAST(str_split(tb.pb, ':')[1] AS BIGINT) AS doc_b,
            CAST(str_split(tb.pb, ':')[2] AS BIGINT) AS sb
     FROM glist g, UNNEST(g.docs) AS ta(pa), UNNEST(g.docs) AS tb(pb)"""
-        shift, xr, gen = ("(simhash >> (15*c))", "xor(sa, sb)", "unnest(range(0, 4))")
+        shift, xr = ("(simhash >> (15*c))", "xor(sa, sb)")
     return f"""
 WITH {_planted_docs_cte()},
 {_simhash_cte(d, src="docs_nd")},
 chunks AS (
   SELECT doc_id, simhash, c, {shift} % 32768 AS chunk
-  FROM sims CROSS JOIN (SELECT {gen} AS c) cc
+  FROM sims {'LATERAL VIEW explode(sequence(0, 3)) cc AS c'
+             if d == 'spark' else ', UNNEST(range(0, 4)) AS cc(c)'}
 ),
 capped AS (
   SELECT doc_id, simhash, c, chunk FROM (

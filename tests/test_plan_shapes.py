@@ -116,3 +116,28 @@ def test_ann_probe_side_bucket_cap(spark):
     # aggregate feeding the probe join), with no cartesian fallback
     p = _plan(spark.sql(q["spark_sql"]))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_no_query_plans_a_cartesian_or_row_python(spark):
+    """Sweeping audit over EVERY registry query at sf0.001: no
+    CartesianProduct anywhere, and no row-at-a-time Python evaluation
+    (BatchEvalPython) — Python is allowed only in Arrow/pandas form.
+    BroadcastNestedLoopJoin is allowed only for the labeled brute-force
+    baseline (sim_topk_cosine broadcasts 5 query rows on purpose)."""
+    import __spark_entry__ as entrymod
+
+    BNLJ_OK = {"sim_topk_cosine"}
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        p = _plan(df)
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in p:
+            bad.append("BatchEvalPython")
+        if "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
