@@ -60,3 +60,45 @@ def test_tall_span_with_no_interior_runs_stays_whole():
     idx, sub, s0, s1 = split_tall_spans(y0, y1)
     assert idx.tolist() == [2] and sub.tolist() == [0]
     assert s0.tolist() == [500] and s1.tolist() == [620]
+
+
+def test_subline_cuts_match_bruteforce_property():
+    """Property test: on random irregular interval sets, subline_cuts
+    must equal a brute-force per-pixel coverage walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ivs=st.lists(
+            st.tuples(st.integers(0, 300), st.integers(1, 60)),
+            min_size=0, max_size=12),
+        ty0=st.integers(0, 150),
+        span=st.integers(1, 200),
+        min_gap=st.integers(1, 8),
+    )
+    def check(ivs, ty0, span, min_gap):
+        y0 = np.array([a for a, _ in ivs], dtype=np.int64)
+        y1 = np.array([a + b for a, b in ivs], dtype=np.int64)
+        ty1 = ty0 + span
+        got = subline_cuts(y0, y1, ty0, ty1, min_gap=min_gap).tolist()
+        # brute force: coverage per pixel of [ty0, ty1), then run starts
+        # whose preceding zero-gap (within the window) is >= min_gap
+        cov = np.zeros(span, dtype=bool)
+        for a, b in zip(y0, y1):
+            lo, hi = max(a, ty0), min(b, ty1)
+            if hi > lo:
+                cov[lo - ty0:hi - ty0] = True
+        want = []
+        for i in range(1, span):
+            if cov[i] and not cov[i - 1]:
+                gap = 0
+                j = i - 1
+                while j >= 0 and not cov[j]:
+                    gap += 1
+                    j -= 1
+                if gap >= min_gap:
+                    want.append(i + ty0)
+        assert got == want, (got, want, ivs, ty0, ty1, min_gap)
+
+    check()
