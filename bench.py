@@ -255,6 +255,12 @@ def update_bench_md(res: dict):
         "| query | sec |", "|---|---|",
     ] + [f"| {k} | {v} |" for k, v in sorted(res["queries"].items())] + [
         "",
+        "(`extract_reading_order` includes distributed corpus generation "
+        "AND a full self-check join against the generator's expected "
+        "order — the extraction itself is the headline throughput above; "
+        "`multimodal_variant_cache` includes the driver-side oracle-truth "
+        "export)",
+        "",
         f"run: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}, "
         f"spark-submit --py-files: {res['via_spark_submit']}",
     ]
