@@ -98,7 +98,10 @@ def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
         import pyspark
         cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
         spark_submit = cand if os.path.exists(cand) else None
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # EYNOLLAH_SPARK_REPO: under --py-files the library's __file__ points
+    # inside the zip, so repo-anchored paths (oracle exports) need the
+    # explicit root
+    env = dict(os.environ, PYTHONPATH=REPO, EYNOLLAH_SPARK_REPO=REPO)
     if spark_submit:
         cmd = [spark_submit, "--master", f"local[{cpus}]",
                "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),

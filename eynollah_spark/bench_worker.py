@@ -108,10 +108,14 @@ def main():
             with — both sides see the same co-tenant steal window."""
             import subprocess
 
+            # bench_worker.py is always a real file (even under
+            # spark-submit --py-files only the LIBRARY zip is archived),
+            # so the repo root is derivable — never hardcode it
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             env = dict(os.environ,
                        SPARK_GRAFT_E2E_OUT="/dev/shm/eynollah_bench_out/ctl")
             p = subprocess.run(
-                [sys.executable, "/root/repo/tools/e2e_control_cli.py",
+                [sys.executable, os.path.join(repo, "tools", "e2e_control_cli.py"),
                  args.corpus, str(args.cpus), str(n_docs)],
                 capture_output=True, text=True, timeout=600, env=env)
             for line in p.stdout.splitlines():

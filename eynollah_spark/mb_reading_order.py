@@ -237,12 +237,12 @@ def machine_reading_order(flat: DataFrame, scorer=None,
         """Dictionary-encode + contiguous-run slicing (the main kernel's
         pattern, r2 VERDICT item 8): ONE numpy conversion per bucket and
         pure array slices per document — no per-doc pandas objects."""
+        from eynollah_spark.kernels import doc_runs
+
         sc = scorer or HeuristicPairScorer()
         if not len(bucket):
             return pd.DataFrame({"doc_id": [], "ord": [], "offset": []})
-        codes, uniq_ids = pd.factorize(bucket["doc_id"], sort=True)
-        order = np.argsort(codes, kind="stable")
-        codes = codes[order]
+        order, starts, ends = doc_runs(bucket["doc_id"])
         ids = bucket["doc_id"].to_numpy(dtype=object)[order]
         x0 = bucket["x0"].to_numpy(float)[order]
         x1 = bucket["x1"].to_numpy(float)[order]
@@ -250,9 +250,6 @@ def machine_reading_order(flat: DataFrame, scorer=None,
         y1 = bucket["y1"].to_numpy(float)[order]
         off = bucket["offset"].to_numpy(np.int64)[order]
         rtl = bucket["rtl"].to_numpy()[order]
-        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(codes)]))
         id_l, ord_l, off_l = [], [], []
         for s, e in zip(starts, ends):
             sub = order_doc_spans(x0[s:e], x1[s:e], y0[s:e], y1[s:e],

@@ -567,6 +567,10 @@ def extract_from_parquet_files(spark, paths: list[str], partitions: int | None =
         out_schema = FLAT_OUT_SCHEMA
     else:
         out_schema = "doc_id string, ord int, kind string, offset int"
+    if ntasks == 0:
+        # empty file list (wrong glob, or a fully-resumed manifest):
+        # an empty result, not spark.range(...)'s opaque JVM error
+        return spark.createDataFrame([], schema=out_schema)
     ids = spark.range(0, ntasks, 1, ntasks)
     return ids.mapInArrow(gen, schema=out_schema)
 

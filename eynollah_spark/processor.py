@@ -94,8 +94,14 @@ class SparkLayoutProcessor:
                     if f.endswith(".xml")]
             if done:
                 done_df = self.spark.createDataFrame(
-                    [(d,) for d in done], "doc_id string")
-                flat = flat.join(F.broadcast(done_df), "doc_id", "left_anti")
+                    [(d,) for d in done], "stem string")
+                # compare SANITIZED stems: write_pagexml_dir rewrites
+                # path-hostile characters in doc_id when naming the file,
+                # so a raw doc_id comparison would never skip such pages
+                stem = F.regexp_replace("doc_id", r"[/\\\x00]|\.\.", "_")
+                flat = (flat.withColumn("stem", stem)
+                        .join(F.broadcast(done_df), "stem", "left_anti")
+                        .drop("stem"))
         flat = flat.cache()
         try:
             ordered = extract_flat_input(flat, fail_fast=self.fail_fast)

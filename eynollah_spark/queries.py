@@ -1567,16 +1567,13 @@ SELECT * FROM norm UNION ALL SELECT * FROM tall
                                  "sub_idx": pd.Series([], dtype="int32"),
                                  "sy0": pd.Series([], dtype="int32"),
                                  "sy1": pd.Series([], dtype="int32")})
-        codes, _u = pd.factorize(b["doc_id"], sort=True)
-        order = np.argsort(codes, kind="stable")
-        codes = codes[order]
+        from eynollah_spark.kernels import doc_runs
+
+        order, starts, ends = doc_runs(b["doc_id"])
         doc = b["doc_id"].to_numpy(np.int64)[order]
         lid = b["line_id"].to_numpy(np.int32)[order]
         y0 = b["y0"].to_numpy(np.int64)[order]
         y1 = b["y1"].to_numpy(np.int64)[order]
-        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(codes)]))
         d_l, l_l, j_l, a_l, b_l = [], [], [], [], []
         for s, e in zip(starts, ends):
             idx, sub, s0, s1 = split_tall_spans(y0[s:e], y1[s:e])

@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, functions as F
 class HeuristicScorer:
     """Deterministic kind-probability scorer over flat span batches."""
 
+    #: the C13 drop-capital gate compares against the per-doc median
+    #: line height, which refine_kinds precomputes relationally
+    needs_ref_h = True
+
     #: C12 rule constants (utils/__init__.py:916-920): a text block is a
     #: heading when it is wide relative to the column and short
     ASPECT_MIN, ASPECT_MAX = 1.3, 30.0
@@ -166,6 +170,10 @@ class NumpyMLPScorer:
     never per-row). Accepts a broadcast of the weights dict so executors
     deserialize the model once per worker, not once per batch."""
 
+    #: works from _span_features alone — refine_kinds skips the per-doc
+    #: median aggregate + join for this scorer
+    needs_ref_h = False
+
     def __init__(self, weights=None, weights_broadcast=None):
         self._bc = weights_broadcast
         self._w = weights
@@ -260,17 +268,20 @@ def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5) -> DataFr
     # hold document fragments in nondeterministic shuffle-fetch order —
     # any in-batch per-doc statistic would make kind refinement vary run
     # to run. One groupBy + co-partitioned join on doc_id fixes the value
-    # before Python ever sees the rows.
-    med = (flat.filter(F.col("kind") == "text")
-           .groupBy("doc_id")
-           .agg(F.expr("percentile(greatest(y1 - y0, 1.0D), 0.5)")
-                .alias("ref_h")))
-    flat = flat.join(med, "doc_id", "left")
+    # before Python ever sees the rows. Scorers that never read ref_h
+    # (the trained MLP works from _span_features alone) skip the
+    # aggregate AND the join entirely.
+    if getattr(scorer, "needs_ref_h", True):
+        med = (flat.filter(F.col("kind") == "text")
+               .groupBy("doc_id")
+               .agg(F.expr("percentile(greatest(y1 - y0, 1.0D), 0.5)")
+                    .alias("ref_h")))
+        flat = flat.join(med, "doc_id", "left")
 
     def apply(iterator):
         for pdf in iterator:
             scores = scorer.score_batch(pdf)
-            pdf = pdf.drop(columns=["ref_h"])
+            pdf = pdf.drop(columns=["ref_h"], errors="ignore")
             is_text = pdf["kind"] == "text"
             mask_h = (scores["p_heading"].to_numpy() >= threshold) & is_text
             pdf.loc[mask_h, "kind"] = "heading"

@@ -173,3 +173,13 @@ def test_task_side_scan_and_write_match_standard_path(spark, tmp_path):
     assert written.count() == n == len(a)
     c = sorted(map(tuple, written.select(cols).collect()))
     assert c == a
+
+
+def test_task_side_scan_empty_file_list(spark):
+    """A fully-resumed manifest (or a wrong glob) yields no input files;
+    the task-side scan must return an empty frame, not a JVM error."""
+    from eynollah_spark.pipeline import extract_from_parquet_files
+
+    out = extract_from_parquet_files(spark, [], partitions=4)
+    assert out.count() == 0
+    assert "doc_id" in out.columns

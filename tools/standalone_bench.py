@@ -81,7 +81,8 @@ def run_level(n_workers: int, corpus: str, zip_path: str,
                "--corpus", corpus, "--trials", "3"]
         if presorted:
             cmd.append("--presorted")
-        env = dict(os.environ, PYTHONPATH=REPO, SPARK_LOCAL_IP="127.0.0.1")
+        env = dict(os.environ, PYTHONPATH=REPO, EYNOLLAH_SPARK_REPO=REPO,
+                   SPARK_LOCAL_IP="127.0.0.1")
         p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
         for line in p.stdout.splitlines():
             if line.startswith("BENCH_WORKER "):
