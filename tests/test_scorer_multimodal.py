@@ -237,3 +237,23 @@ def test_resize_policy_matches_reference_rules(spark):
     assert out[(6, 4000)]["new_w"] == 6500
     # 4 cols, width < 2500 -> snap to 4000 (4000*3500//2400 = 5833 < 8000)
     assert out[(4, 2400)]["new_w"] == 4000
+
+
+def test_variant_cache_joins_back_to_referencing_spans(spark):
+    """A2 end-to-end: spans referencing the same media many times get
+    their variant dims via an equi-join on media_ref — N references cost
+    one decode plus a join, never N decodes."""
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.multimodal import synth_media_table, variant_cache
+
+    media = synth_media_table(spark, 6)
+    spans = spark.range(30).select(
+        F.concat(F.lit("doc"), (F.col("id") % 5)).alias("doc_id"),
+        F.col("id").cast("int").alias("offset"),
+        F.concat(F.lit("media://fixture/"), (F.col("id") % 6)).alias("media_ref"))
+    variants = variant_cache(media).filter(F.col("variant") == "resized")
+    joined = spans.join(variants, "media_ref")
+    rows = joined.collect()
+    assert len(rows) == 30  # every span resolved its resized variant
+    assert all(r["width"] == 2000 for r in rows)
