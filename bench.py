@@ -27,8 +27,8 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".cache")
-HEADLINE = ("tpch_q1_pricing", "tpch_q3_topk", "dedup_minhash_bands",
-            "dedup_minhash_sig", "dedup_simhash_neardup",
+HEADLINE = ("tpch_q1_pricing", "tpch_q3_topk", "dedup_ngram_jaccard",
+            "dedup_simhash_neardup",
             "dedup_embedding_neardup", "dedup_exact", "dedup_boilerplate_chunks",
             "sim_topk_cosine", "sim_ann_topk",
             "events_sessionize", "events_hourly_window", "events_funnel",

@@ -188,7 +188,18 @@ def order_doc_spans(x0, x1, y0, y1, off, rtl: bool, sc) -> np.ndarray:
     order regions with the pairwise model, lines via D1. Array-slices
     in, ordered input-index array out (no pandas). Module-level so the
     driver-side oracle exporter can run the IDENTICAL sequential
-    reference the distributed path distributes."""
+    reference the distributed path distributes.
+
+    The doc slice is canonicalized to offset order FIRST: Spark does not
+    guarantee shuffle-fetch arrival order into applyInPandas, and the
+    ordering below is input-order-sensitive (union-find root indices in
+    cluster_lines_into_regions fix the region sequence via
+    np.unique(labels), which order_regions_pairwise's insertion loop
+    then depends on). Sorting here makes the result a pure function of
+    the span set, so the distributed path and the sequential oracle
+    agree regardless of row arrival order (ADVICE r3, medium)."""
+    canon = np.argsort(np.asarray(off), kind="stable")
+    x0, x1, y0, y1, off = x0[canon], x1[canon], y0[canon], y1[canon], off[canon]
     labels = cluster_lines_into_regions(x0, x1, y0, y1, rtl=rtl)
     uniq = np.unique(labels)
     geom = np.empty((len(uniq), 4))
@@ -207,7 +218,7 @@ def order_doc_spans(x0, x1, y0, y1, off, rtl: bool, sc) -> np.ndarray:
         cx = (x0[m] + x1[m]) / 2.0
         cy = (y0[m] + y1[m]) / 2.0
         out.extend(m[order_lines_in_region(cx, cy, rtl, off[m])].tolist())
-    return np.asarray(out, dtype=np.int64)
+    return canon[np.asarray(out, dtype=np.int64)]
 
 
 def machine_reading_order(flat: DataFrame, scorer=None,

