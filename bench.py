@@ -82,12 +82,14 @@ def ensure_corpus(n_docs: int) -> str:
 
 def run_worker(cpus: int, corpus: str | None, sf_dir: str | None, queries: str,
                zip_path: str, presorted: bool = False, trials: int = 1,
-               with_control: bool = False) -> dict:
+               with_control: bool = False, bucketize: bool = False) -> dict:
     args = ["--cpus", str(cpus), "--trials", str(trials)]
     if corpus:
         args += ["--corpus", corpus]
     if presorted:
         args += ["--presorted"]
+    if bucketize:
+        args += ["--bucketize"]
     if with_control:
         args += ["--with-control"]
     if sf_dir and queries:
@@ -190,6 +192,44 @@ def _best_tracking(res: dict):
     return best
 
 
+def _weak_scaling_section(res: dict) -> list[str]:
+    w = res.get("weak_scaling") or {}
+    if not w:
+        return []
+    n, walls, rates = w["n_docs"], w["wall_sec"], w["docs_per_sec"]
+    return [
+        "Weak scaling (data dimension, measured THIS run, flagship bucketed "
+        "path, back-to-back in one steal window): "
+        f"{n[0]:,} docs → {rates[0]:,} docs/s ({walls[0]} s), "
+        f"{n[1]:,} docs → {rates[1]:,} docs/s ({walls[1]} s) — "
+        f"throughput ratio {w['throughput_ratio_at_2x']} at 2× data; "
+        "the per-file task model has no per-corpus state to degrade.",
+        "",
+    ]
+
+
+def _bucketing_section(res: dict) -> list[str]:
+    b = res.get("bucketing_ingest") or {}
+    if not b:
+        return []
+    lines = [
+        "One-time ingest/bucketing job (raw parquet → doc_id-hash-bucketed, "
+        "within-file-sorted table; the single shuffle that buys the "
+        "zero-shuffle extract path): "
+        + ", ".join(f"{c} cores → {v['wall_sec']} s ({v['docs_per_sec']:,} docs/s)"
+                    for c, v in sorted(b.items())),
+    ]
+    be = res.get("bucketing_break_even_runs")
+    if be is not None:
+        lines.append(
+            f"Break-even: ~{be} extraction passes amortize one bucketing "
+            "(each bucketed pass saves standard_wall − bucketed_wall); any "
+            "pipeline that re-reads its corpus more than that — every "
+            "training-data pipeline — should ingest bucketed.")
+    lines.append("")
+    return lines
+
+
 def update_bench_md(res: dict):
     if res["n_docs"] < 100_000:
         # smoke runs (SPARK_GRAFT_BENCH_DOCS=2000 etc.) must not clobber
@@ -256,11 +296,12 @@ def update_bench_md(res: dict):
         + f"; efficiency {res.get('presorted_scaling_efficiency')}",
         f"checksum match across levels: {res['checksum_match']}",
         "",
-        "Weak scaling (data dimension, measured 2026-08-17, same flagship "
-        "path, 32 cores, back-to-back in one steal window): 100k docs → "
-        "10,626 docs/s (9.41 s), 200k docs → 10,361 docs/s (19.30 s) — "
-        "throughput ratio 0.975 at 2× data; wall grows linearly, the "
-        "per-file task model has no per-corpus state to degrade.",
+        *_weak_scaling_section(res),
+        *_bucketing_section(res),
+        "CPU-confinement policy: every measured process tree — each Spark "
+        "worker JVM (taskset) AND every control worker (sched_setaffinity) — "
+        "is pinned to cores 0..n-1 at level n, so 'local[8]' really means an "
+        "8-core machine for both sides of every ratio (ADVICE r3).",
         "",
         *_standalone_section(),
         "## headline query latencies",
@@ -488,6 +529,33 @@ def main():
     # pollute them
     qres = run_worker(cpus, None, sf_dir, ",".join(HEADLINE), zip_path)
     levels[1]["queries"] = qres.get("queries", {})
+
+    # one-time ingest/bucketing job (VERDICT r3 item 3): the hash
+    # shuffle + within-file sort + write that buys the zero-shuffle
+    # extract path, timed at both levels so the 100 TB story quotes
+    # total cost, not just steady state
+    bucketing = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
+        for c in (lo, cpus):
+            r = run_worker(c, corpus, None, "", zip_path, bucketize=True, trials=2)
+            bucketing[c] = {"wall_sec": r["extract_wall_sec"],
+                            "docs_per_sec": r["docs_per_sec"]}
+
+    # weak scaling (data dimension), MEASURED each run (ADVICE r3: never
+    # republish a hardcoded number as a result): flagship bucketed path
+    # at n and 2n docs back-to-back in one steal window, high level only
+    weak = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_WEAK", "1") != "0":
+        corpus2x = ensure_corpus(2 * n_docs)
+        w1 = run_worker(cpus, corpus, None, "", zip_path, presorted=True, trials=2)
+        w2 = run_worker(cpus, corpus2x, None, "", zip_path, presorted=True, trials=2)
+        weak = {
+            "n_docs": [w1["n_docs"], w2["n_docs"]],
+            "wall_sec": [w1["extract_wall_sec"], w2["extract_wall_sec"]],
+            "docs_per_sec": [w1["docs_per_sec"], w2["docs_per_sec"]],
+            "throughput_ratio_at_2x": round(w1["extract_wall_sec"] /
+                                            (w2["extract_wall_sec"] / 2), 3),
+        }
     rate_lo, rate_hi = levels[0]["docs_per_sec"], levels[1]["docs_per_sec"]
     eff = round((rate_hi / rate_lo) / (cpus / lo), 3)
     log("running bare-kernel hardware control...")
@@ -534,7 +602,16 @@ def main():
         "levels": levels,
         "sf_dir": sf_dir,
         "via_spark_submit": shutil.which("spark-submit") is not None or True,
+        "bucketing_ingest": bucketing,
+        "weak_scaling": weak,
     }
+    # break-even: N extractions amortize one bucketing (the bucketing
+    # shuffle costs W_b once; each bucketed extraction saves
+    # standard_wall - bucketed_wall over the shuffled path)
+    std_w, pre_w = levels[1]["extract_wall_sec"], levels[1].get("presorted_wall_sec")
+    if bucketing.get(cpus) and pre_w and std_w > pre_w:
+        res["bucketing_break_even_runs"] = round(
+            bucketing[cpus]["wall_sec"] / (std_w - pre_w), 1)
     update_bench_md(res)
     compact = {k: res[k] for k in ("metric", "value", "unit", "sf", "queries",
                                    "scaling", "scaling_efficiency", "checksum_match",

@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--corpus", default=None, help="flat corpus parquet path")
     ap.add_argument("--presorted", action="store_true", help="time the bucketed-input path instead")
+    ap.add_argument("--bucketize", action="store_true",
+                    help="time the one-time INGEST job instead: raw parquet -> "
+                         "doc_id-hash-bucketed, within-file-sorted table (the "
+                         "shuffle that buys the zero-shuffle extract path)")
     ap.add_argument("--with-control", action="store_true",
                     help="alternate an e2e hardware-control sample after every "
                          "Spark trial (same ~40s steal window -> honest pair ratios)")
@@ -69,6 +73,19 @@ def main():
             import shutil
 
             t0 = time.time()
+            if args.bucketize:
+                # the ingest shuffle: one hash repartition on doc_id +
+                # within-file sort + parquet write. Identical shape to
+                # ensure_corpus in bench.py — measured here so the 100 TB
+                # story can quote the one-time cost the zero-shuffle
+                # extract path amortizes (VERDICT r3 item 3).
+                shutil.rmtree(out_dir, ignore_errors=True)
+                n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "256"))
+                (flat.repartition(n_files, F.xxhash64("doc_id"))
+                     .sortWithinPartitions("doc_id", "offset")
+                     .write.mode("overwrite").parquet(out_dir))
+                rows = spark.read.parquet(out_dir).count()
+                return time.time() - t0, None, rows
             if args.presorted:
                 import glob
 

@@ -22,14 +22,41 @@ def main(argv=None):
     ap.add_argument("--cpus", type=int, default=8)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    def _layout_flags(p):
+        """Reference layout-CLI flag parity (cli_layout.py:91-159), wired
+        to the engine knobs that already implement each semantic."""
+        p.add_argument("--num-col-lower", type=int, default=0, metavar="N",
+                       help="lower bound on detected column count "
+                            "(0 = autodetect; cli_layout.py -ncl)")
+        p.add_argument("--num-col-upper", type=int, default=0, metavar="N",
+                       help="upper bound on detected column count "
+                            "(0 = autodetect; cli_layout.py -ncu)")
+        p.add_argument("--right2left", action="store_true",
+                       help="force right-to-left reading order for all "
+                            "documents (cli_layout.py -r2l; per-doc "
+                            "meta.rtl is the default source)")
+        p.add_argument("--ignore-page-extraction", action="store_true",
+                       help="skip the printspace/page-frame filter "
+                            "(cli_layout.py -ipe)")
+        p.add_argument("--printspace-margin", type=float, default=0.0,
+                       metavar="FRAC",
+                       help="apply the B9 printspace filter with this "
+                            "margin fraction (e.g. 0.02); 0 = off "
+                            "(the model-free page-frame stand-in)")
+
     p = sub.add_parser("layout", help="extract reading-ordered spans (resumable)")
     p.add_argument("--input", required=True, help="nested documents parquet")
     p.add_argument("--output", required=True)
     p.add_argument("--n-parts", type=int, default=8)
+    _layout_flags(p)
 
     p = sub.add_parser("full-layout", help="F1 --full-layout: extract + refine + adhere")
     p.add_argument("--input", required=True, help="flat span parquet")
     p.add_argument("--output", required=True)
+    p.add_argument("--headers-off", action="store_true",
+                   help="ignore headers role in reading order — skip "
+                        "heading reclassification (cli_layout.py -ho)")
+    _layout_flags(p)
 
     p = sub.add_parser("extract-images", help="B17: image spans only")
     p.add_argument("--input", required=True)
@@ -73,7 +100,15 @@ def main(argv=None):
             from eynollah_spark.manifest import run_extraction
 
             docs = spark.read.parquet(args.input)
-            summary = run_extraction(docs, args.output, n_parts=args.n_parts)
+            if args.right2left:
+                docs = docs.withColumn(
+                    "meta", F.col("meta").withField("rtl", F.lit(True)))
+            ekw = {"num_col_lower": args.num_col_lower,
+                   "num_col_upper": args.num_col_upper}
+            if args.printspace_margin > 0 and not args.ignore_page_extraction:
+                ekw["printspace_margin"] = args.printspace_margin
+            summary = run_extraction(docs, args.output, n_parts=args.n_parts,
+                                     extract_kwargs=ekw)
             print(json.dumps(summary))
         elif args.cmd == "extract-images":
             docs = spark.read.parquet(args.input)
@@ -96,10 +131,18 @@ def main(argv=None):
             out.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"ok": True, "n_docs": args.n_docs, "output": args.output}))
         elif args.cmd == "full-layout":
-            from eynollah_spark.pipeline import extract_full_layout
+            from eynollah_spark.pipeline import extract_full_layout, filter_printspace
 
             flat = spark.read.parquet(args.input)
-            extract_full_layout(flat).write.mode("overwrite").parquet(args.output)
+            if args.right2left:
+                flat = flat.withColumn("rtl", F.lit(True))
+            if args.printspace_margin > 0 and not args.ignore_page_extraction:
+                flat = filter_printspace(flat, margin_frac=args.printspace_margin)
+            extract_full_layout(
+                flat, headers_off=args.headers_off,
+                num_col_lower=args.num_col_lower,
+                num_col_upper=args.num_col_upper,
+            ).write.mode("overwrite").parquet(args.output)
             print(json.dumps({"ok": True, "output": args.output}))
         elif args.cmd in ("binarize", "enhance"):
             from eynollah_spark import multimodal

@@ -74,6 +74,10 @@ class DocSpans:
     width: int
     height: int
     rtl: bool = False
+    #: CLI-style column-count bounds (cli_layout.py:127-143 num_col_lower/
+    #: num_col_upper; clamp semantics eynollah.py:411-416). 0 = unset.
+    num_col_lower: int = 0
+    num_col_upper: int = 0
 
     @property
     def n(self) -> int:
@@ -701,6 +705,12 @@ def layout_permutation(doc: DocSpans):
         num_col_est = max(1, int((masses >= 0.15 * masses.sum()).sum()))
     else:
         num_col_est = 1
+    # B5 user clamp (eynollah.py:411-416): CLI num_col_lower/_upper bound
+    # the estimate; equal bounds pin it outright
+    if doc.num_col_lower:
+        num_col_est = max(num_col_est, int(doc.num_col_lower))
+    if doc.num_col_upper:
+        num_col_est = min(num_col_est, int(doc.num_col_upper))
 
     # --- C10 marginalia over text lines
     marg_mask_t, main_lo, main_hi = split_main_and_marginal(

@@ -68,7 +68,8 @@ def completed_parts(spark: SparkSession, out_path: str) -> set[int]:
 
 def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
                    partitions: int | None = None, parts_per_batch: int = 4,
-                   iceberg_table: str | None = None) -> dict:
+                   iceberg_table: str | None = None,
+                   extract_kwargs: dict | None = None) -> dict:
     """Extract with per-bucket checkpointing; resumable.
 
     Returns summary metrics. Re-running after a failure skips buckets
@@ -92,7 +93,8 @@ def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
         batch = todo[i:i + parts_per_batch]
         t0 = time.time()
         sub = docs.filter(F.col("part").isin(batch))
-        out = extract(sub.drop("part"), partitions=partitions, nested=False, fail_fast=False)
+        out = extract(sub.drop("part"), partitions=partitions, nested=False,
+                      fail_fast=False, **(extract_kwargs or {}))
         out = out.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
         if use_iceberg:
             write_bucket_iceberg(out, iceberg_table, create=(i == 0 and not done))

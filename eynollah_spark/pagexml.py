@@ -21,6 +21,7 @@ reference's one-file-per-page layout.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 from xml.sax.saxutils import escape, quoteattr
@@ -184,20 +185,34 @@ def to_pagexml_df(rows: DataFrame) -> DataFrame:
     return rows.groupBy("doc_id").applyInPandas(fn, schema="doc_id string, xml string")
 
 
+def sanitize_stem(doc_id: str) -> str:
+    """Filesystem-safe stem for one page file. A doc_id containing a
+    path separator (or '..') must not escape out_dir; when sanitization
+    rewrites the name, a short hash of the RAW doc_id is appended so two
+    distinct doc_ids (e.g. 'a/b' and 'a_b') can never collapse to the
+    same stem and silently overwrite each other (ADVICE r3)."""
+    stem = re.sub(r"[/\\\x00]|\.\.", "_", str(doc_id))
+    if stem != str(doc_id):
+        digest = hashlib.md5(str(doc_id).encode("utf-8")).hexdigest()[:8]
+        stem = f"{stem}-{digest}"
+    return stem
+
+
 def write_pagexml_dir(xml_df: DataFrame, out_dir: str) -> int:
     """Reference-style one-file-per-page sink: <out_dir>/<doc_id>.xml.
     Executor-side writes (foreachPartition) — works in local mode and on
     a shared filesystem; at object-store scale keep the (doc_id, xml)
-    table instead."""
+    table instead. The returned count comes from an accumulator and is
+    approximate under task retries/speculation (a retried partition
+    counts twice); the file set itself is idempotent (fixed name per
+    doc, whole-file rewrite)."""
     os.makedirs(out_dir, exist_ok=True)
     acc = xml_df.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows):
         n = 0
         for r in rows:
-            # sanitize: a doc_id containing a path separator (or '..')
-            # must not escape out_dir
-            stem = re.sub(r"[/\\\x00]|\.\.", "_", str(r["doc_id"]))
+            stem = sanitize_stem(r["doc_id"])
             with open(os.path.join(out_dir, f"{stem}.xml"), "w") as f:
                 f.write(r["xml"])
             n += 1

@@ -68,7 +68,8 @@ def salted_repartition(df: DataFrame, partitions: int, heavy_quantile: float = H
 
 
 def filter_printspace(flat: DataFrame, frame=None,
-                      margin_frac: float = 0.02) -> DataFrame:
+                      margin_frac: float = 0.02,
+                      keep_null_spans: bool = False) -> DataFrame:
     """B9 page-frame / printspace filter (extract_text_regions page-frame
     model + crop, eynollah.py:318-401): drop spans whose center falls
     outside the printspace box. `frame` is (x0, x1, y0, y1) absolute, or
@@ -84,7 +85,12 @@ def filter_printspace(flat: DataFrame, frame=None,
         fx1 = (1 - margin_frac) * F.col("width")
         fy0 = margin_frac * F.col("height")
         fy1 = (1 - margin_frac) * F.col("height")
-    return flat.filter((cx >= fx0) & (cx <= fx1) & (cy >= fy0) & (cy <= fy1))
+    keep = (cx >= fx0) & (cx <= fx1) & (cy >= fy0) & (cy <= fy1)
+    if keep_null_spans:
+        # posexplode_outer null-span rows (empty documents) must survive
+        # so nested mode still emits their empty out_spans row
+        keep = F.col("kind").isNull() | keep
+    return flat.filter(keep)
 
 
 def flatten(df: DataFrame) -> DataFrame:
@@ -123,7 +129,7 @@ def _batch_cols(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
     return out
 
 
-def _doc_spans(cols, s: int, e: int) -> DocSpans | None:
+def _doc_spans(cols, s: int, e: int, ncl: int = 0, ncu: int = 0) -> DocSpans | None:
     valid = cols["_valid"][s:e]
     if not valid.all():
         if not valid.any():
@@ -136,11 +142,12 @@ def _doc_spans(cols, s: int, e: int) -> DocSpans | None:
         offset=cols["offset"][sl].astype(np.int64),
         x0=cols["x0"][sl], x1=cols["x1"][sl], y0=cols["y0"][sl], y1=cols["y1"][sl],
         width=int(cols["width"][s]), height=int(cols["height"][s]),
-        rtl=bool(cols["rtl"][s]),
+        rtl=bool(cols["rtl"][s]), num_col_lower=ncl, num_col_upper=ncu,
     )
 
 
-def make_kernel(nested: bool, fail_fast: bool = True):
+def make_kernel(nested: bool, fail_fast: bool = True,
+                num_col_lower: int = 0, num_col_upper: int = 0):
     """Arrow-batch kernel: processes contiguous doc runs, carries the
     incomplete tail run to the next batch, emits ONE output frame per
     batch (never per doc). fail_fast=False quarantines per-document
@@ -154,7 +161,7 @@ def make_kernel(nested: bool, fail_fast: bool = True):
         for k in range(len(starts)):
             s = starts[k]
             e = starts[k + 1] if k + 1 < len(starts) else len(ids)
-            d = _doc_spans(cols, s, e)
+            d = _doc_spans(cols, s, e, num_col_lower, num_col_upper)
             if d is None:
                 if nested:
                     acc_nested.append((ids[s], []))
@@ -259,7 +266,8 @@ def _safe_permutation(d: DocSpans, fail_fast: bool):
         return perm, np.zeros(len(perm), dtype=bool)
 
 
-def make_arrow_kernel(include_payload: bool = True, fail_fast: bool = True):
+def make_arrow_kernel(include_payload: bool = True, fail_fast: bool = True,
+                      num_col_lower: int = 0, num_col_upper: int = 0):
     """Arrow-native flat-output kernel (the 100TB hot path).
 
     mapInArrow instead of mapInPandas: numeric columns reach numpy
@@ -312,6 +320,7 @@ def make_arrow_kernel(include_payload: bool = True, fail_fast: bool = True):
                 kind=kind_obj[idx], text=None, media_ref=None,
                 offset=offs[idx], x0=x0[idx], x1=x1[idx], y0=y0[idx], y1=y1[idx],
                 width=int(W[s]), height=int(H[s]), rtl=bool(RT[s]),
+                num_col_lower=num_col_lower, num_col_upper=num_col_upper,
             )
             perm, marg = _safe_permutation(d, fail_fast)
             take_l.append(idx[perm])
@@ -359,7 +368,8 @@ def make_arrow_kernel(include_payload: bool = True, fail_fast: bool = True):
     return kernel
 
 
-def make_partition_arrow_kernel(include_payload: bool = True, fail_fast: bool = True):
+def make_partition_arrow_kernel(include_payload: bool = True, fail_fast: bool = True,
+                                num_col_lower: int = 0, num_col_upper: int = 0):
     """Whole-partition Arrow kernel: accumulate the partition, establish
     the canonical (doc_id, offset) row order with ONE Arrow C++ sort, then
     run the same per-doc-run kernel over the sorted table.
@@ -377,7 +387,8 @@ def make_partition_arrow_kernel(include_payload: bool = True, fail_fast: bool = 
     (bucketed scan path), same bound the carry logic already implied."""
     import pyarrow as pa
 
-    base = make_arrow_kernel(include_payload=include_payload, fail_fast=fail_fast)
+    base = make_arrow_kernel(include_payload=include_payload, fail_fast=fail_fast,
+                             num_col_lower=num_col_lower, num_col_upper=num_col_upper)
 
     def kernel(batches):
         import pyarrow.compute as pc
@@ -399,7 +410,9 @@ def make_partition_arrow_kernel(include_payload: bool = True, fail_fast: bool = 
 
 
 def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
-            heavy_threshold: int | None = None, fail_fast: bool = True) -> DataFrame:
+            heavy_threshold: int | None = None, fail_fast: bool = True,
+            num_col_lower: int = 0, num_col_upper: int = 0,
+            printspace_margin: float = 0.0) -> DataFrame:
     """documents (nested) -> ordered out_spans.
 
     ``nested=True`` returns FIXTURES.md §2 rows (doc_id, out_spans);
@@ -413,16 +426,27 @@ def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     df = salted_repartition(df, partitions, heavy_threshold=heavy_threshold)
-    flat = flatten(df).sortWithinPartitions("doc_id", "offset")  # canonical per-doc row order -> bitwise-deterministic output
+    flat = flatten(df)
+    if printspace_margin > 0:
+        # B9 page-frame filter as a pre-kernel codegen predicate (the
+        # CLI's page-extraction step; --ignore-page-extraction skips it)
+        flat = filter_printspace(flat, margin_frac=printspace_margin,
+                                 keep_null_spans=True)
+    flat = flat.sortWithinPartitions("doc_id", "offset")  # canonical per-doc row order -> bitwise-deterministic output
     if nested:
-        return flat.mapInPandas(make_kernel(True, fail_fast=fail_fast), schema=OUT_SCHEMA)
-    return flat.mapInArrow(make_arrow_kernel(fail_fast=fail_fast), schema=FLAT_OUT_SCHEMA)
+        return flat.mapInPandas(
+            make_kernel(True, fail_fast=fail_fast, num_col_lower=num_col_lower,
+                        num_col_upper=num_col_upper), schema=OUT_SCHEMA)
+    return flat.mapInArrow(
+        make_arrow_kernel(fail_fast=fail_fast, num_col_lower=num_col_lower,
+                          num_col_upper=num_col_upper), schema=FLAT_OUT_SCHEMA)
 
 
 def extract_flat_input(flat: DataFrame, partitions: int | None = None,
                        nested: bool = False, strategy: str = "join",
                        assume_doc_partitioned: bool = False,
-                       fail_fast: bool = True) -> DataFrame:
+                       fail_fast: bool = True,
+                       num_col_lower: int = 0, num_col_upper: int = 0) -> DataFrame:
     """Same pipeline for already-flat span rows (doc_id, width, height,
     rtl, kind, text, media_ref, offset, x0..y1) — used when the corpus is
     generated distributed, skipping the nest/flatten round-trip.
@@ -463,14 +487,18 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
                         "media_ref", "offset", "x0", "x1", "y0", "y1")
         f = f.repartition(partitions, F.xxhash64("doc_id"))
         f = f.sortWithinPartitions("doc_id", "offset")
-        return f.mapInPandas(make_kernel(True, fail_fast=fail_fast), schema=OUT_SCHEMA)
+        return f.mapInPandas(
+            make_kernel(True, fail_fast=fail_fast, num_col_lower=num_col_lower,
+                        num_col_upper=num_col_upper), schema=OUT_SCHEMA)
     if strategy == "join":
         narrow = flat.select("doc_id", "width", "height", "rtl", "kind",
                              "offset", "x0", "x1", "y0", "y1")
         if not assume_doc_partitioned:
             narrow = narrow.repartition(partitions, F.xxhash64("doc_id"))
         perm = narrow.mapInArrow(
-            make_partition_arrow_kernel(include_payload=False, fail_fast=fail_fast),
+            make_partition_arrow_kernel(include_payload=False, fail_fast=fail_fast,
+                                        num_col_lower=num_col_lower,
+                                        num_col_upper=num_col_upper),
             schema="doc_id string, ord int, kind string, offset int")
         payload = flat.select("doc_id", "offset", "text", "media_ref")
         # shuffle_hash: build a hash map per partition instead of sorting
@@ -483,7 +511,9 @@ def extract_flat_input(flat: DataFrame, partitions: int | None = None,
                     "media_ref", "offset", "x0", "x1", "y0", "y1")
     if not assume_doc_partitioned:
         f = f.repartition(partitions, F.xxhash64("doc_id"))
-    return f.mapInArrow(make_partition_arrow_kernel(fail_fast=fail_fast),
+    return f.mapInArrow(make_partition_arrow_kernel(fail_fast=fail_fast,
+                                                    num_col_lower=num_col_lower,
+                                                    num_col_upper=num_col_upper),
                         schema=FLAT_OUT_SCHEMA)
 
 
@@ -530,6 +560,9 @@ def extract_from_parquet_files(spark, paths: list[str], partitions: int | None =
     narrow_names = ["doc_id", "ord", "kind", "offset"]
 
     def gen(batches):
+        import os
+        import uuid
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -547,9 +580,21 @@ def extract_from_parquet_files(spark, paths: list[str], partitions: int | None =
                         # as one doc-complete file per input file. At
                         # 100 TB this is the object-store write the job
                         # actually ships, with a manifest row per file
-                        # for resume.
-                        pq.write_table(pa.Table.from_batches(outs),
-                                       f"{write_dir}/part-{int(tid)}-{k}.parquet")
+                        # for resume. Commit protocol (ADVICE r3): write
+                        # under an attempt-unique temp name, then
+                        # os.replace — atomic on POSIX, so a killed or
+                        # speculative duplicate attempt can never leave a
+                        # truncated file at the final path (a loser's
+                        # replace rewrites identical doc-complete bytes).
+                        # On an object store, PUT is already atomic; the
+                        # analogue is PUT-to-temp-key + manifest commit,
+                        # and verify_written checks the manifest either
+                        # way. Disable speculation for belt-and-braces
+                        # (spark.speculation=false is the default).
+                        final = f"{write_dir}/part-{int(tid)}-{k}.parquet"
+                        tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                        pq.write_table(pa.Table.from_batches(outs), tmp)
+                        os.replace(tmp, final)
                     if stats_only:
                         n_task += sum(ob.num_rows for ob in outs)
                     elif write_dir is not None and not include_payload:
@@ -576,7 +621,9 @@ def extract_from_parquet_files(spark, paths: list[str], partitions: int | None =
 
 
 def extract_full_layout(flat: DataFrame, partitions: int | None = None,
-                        scorer=None, fail_fast: bool = True) -> DataFrame:
+                        scorer=None, fail_fast: bool = True,
+                        headers_off: bool = False,
+                        num_col_lower: int = 0, num_col_upper: int = 0) -> DataFrame:
     """F1 `--full-layout` mode parity: the complete post-kernel chain —
     XY-cut extraction -> geometry re-attach -> scorer kind refinement
     (headings, drop capitals; B12/C12/C13) -> C14 drop-capital adhesion.
@@ -591,7 +638,10 @@ def extract_full_layout(flat: DataFrame, partitions: int | None = None,
     from eynollah_spark.tables import split_wide_tables
 
     flat = split_wide_tables(flat)
-    out = extract_flat_input(flat, partitions=partitions, fail_fast=fail_fast)
+    out = extract_flat_input(flat, partitions=partitions, fail_fast=fail_fast,
+                             num_col_lower=num_col_lower, num_col_upper=num_col_upper)
     rows = attach_geometry(out, flat)
-    refined = refine_kinds(rows, scorer=scorer)
+    # headers_off (cli_layout.py:111-115): ignore the headers role — skip
+    # heading reclassification so headings stay plain text in the output
+    refined = rows if headers_off else refine_kinds(rows, scorer=scorer)
     return adhere_drop_capitals(refined)

@@ -96,9 +96,13 @@ class SparkLayoutProcessor:
                 done_df = self.spark.createDataFrame(
                     [(d,) for d in done], "stem string")
                 # compare SANITIZED stems: write_pagexml_dir rewrites
-                # path-hostile characters in doc_id when naming the file,
+                # path-hostile characters in doc_id when naming the file
+                # (appending an md5 tag when it does — pagexml.sanitize_stem),
                 # so a raw doc_id comparison would never skip such pages
-                stem = F.regexp_replace("doc_id", r"[/\\\x00]|\.\.", "_")
+                clean = F.regexp_replace("doc_id", r"[/\\\x00]|\.\.", "_")
+                stem = F.when(clean == F.col("doc_id"), clean).otherwise(
+                    F.concat(clean, F.lit("-"),
+                             F.substring(F.md5(F.col("doc_id")), 1, 8)))
                 flat = (flat.withColumn("stem", stem)
                         .join(F.broadcast(done_df), "stem", "left_anti")
                         .drop("stem"))

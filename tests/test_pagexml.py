@@ -123,3 +123,24 @@ def test_hostile_doc_id_quoting_and_path_sanitization(tmp_path):
     import re
     stem = re.sub(r"[/\\\x00]|\.\.", "_", doc_id)
     assert "/" not in stem and ".." not in stem
+
+
+def test_sanitized_stems_never_collide_and_match_resume_expr():
+    """ADVICE r3: 'a/b' and 'a_b' must not collapse to the same file (one
+    page would silently overwrite the other and the resume anti-join
+    would then skip both forever). Stems that needed sanitization get a
+    short md5 tag; the processor's SQL-side resume expression must
+    compute the identical stem."""
+    import hashlib
+
+    from eynollah_spark.pagexml import sanitize_stem
+
+    assert sanitize_stem("a_b") == "a_b"  # clean ids unchanged
+    assert sanitize_stem("a/b") != sanitize_stem("a_b")
+    assert sanitize_stem("a/b") != sanitize_stem("a\\b")
+    assert "/" not in sanitize_stem('evil"doc/../x')
+    assert ".." not in sanitize_stem('evil"doc/../x')
+    # the tag is the first 8 hex chars of md5(raw), the same expression
+    # processor.py builds with F.md5 for the resume anti-join
+    assert sanitize_stem("a/b").endswith(
+        "-" + hashlib.md5(b"a/b").hexdigest()[:8])
