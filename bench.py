@@ -619,6 +619,9 @@ def main():
     compact["bucketed_scaling"] = res["presorted"]
     compact["bucketed_scaling_efficiency"] = res["presorted_scaling_efficiency"]
     compact["e2e_control"] = res["control_e2e_docs_per_sec"]
+    compact["weak_scaling"] = res.get("weak_scaling")
+    compact["bucketing_ingest"] = res.get("bucketing_ingest")
+    compact["bucketing_break_even_runs"] = res.get("bucketing_break_even_runs")
     compact["spark_vs_e2e_control"] = res["spark_vs_e2e_control"]
     compact["spark_vs_e2e_pair_ratios"] = res["spark_vs_e2e_pair_ratios"]
     # how much of the box's OWN achievable scaling Spark delivers (the
