@@ -82,6 +82,12 @@ def main(argv=None):
     p = sub.add_parser("page-xml", help="A5: extract + write PAGE-XML files")
     p.add_argument("--input", required=True, help="flat span parquet")
     p.add_argument("--output", required=True, help="directory for <doc_id>.xml")
+    p.add_argument("--coords", choices=("original", "deskewed"),
+                   default="original",
+                   help="coordinate frame for serialized geometry: "
+                        "'original' = input-image coordinates (the "
+                        "reference's contract, C9); 'deskewed' = rotated "
+                        "by the page's estimated skew angle")
 
     p = sub.add_parser("process", help="F7: PAGE-XML workspace in -> "
                        "reading-ordered PAGE-XML out (resumable)")
@@ -160,15 +166,22 @@ def main(argv=None):
             print(json.dumps({"ok": True, "pages_written": n,
                               "output": args.output}))
         elif args.cmd == "page-xml":
-            from eynollah_spark.pagexml import (attach_geometry, to_pagexml_df,
+            from eynollah_spark.pagexml import (attach_geometry,
+                                                page_deskew_angles,
+                                                rotate_geometry,
+                                                to_pagexml_df,
                                                 write_pagexml_dir)
             from eynollah_spark.pipeline import extract_flat_input
 
             flat = spark.read.parquet(args.input)
             out = extract_flat_input(flat)
-            xml_df = to_pagexml_df(attach_geometry(out, flat))
+            rows = attach_geometry(out, flat)
+            if args.coords == "deskewed":
+                rows = rotate_geometry(rows, page_deskew_angles(flat))
+            xml_df = to_pagexml_df(rows)
             write_pagexml_dir(xml_df, args.output)
-            print(json.dumps({"ok": True, "output": args.output}))
+            print(json.dumps({"ok": True, "output": args.output,
+                              "coords": args.coords}))
     finally:
         spark.stop()
 

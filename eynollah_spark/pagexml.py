@@ -165,6 +165,92 @@ def attach_geometry(out: DataFrame, flat_input: DataFrame) -> DataFrame:
     return out.join(geom, ["doc_id", "offset"], "left")
 
 
+def page_deskew_angles(flat_input: DataFrame) -> DataFrame:
+    """Per-document EFFECTIVE deskew angle (doc_id, angle_deg): the exact
+    angle layout_permutation applied — estimate_skew over the text spans,
+    gated the same way (>= 8 text lines, |angle| >= 0.75 deg, else 0).
+    Bucketed applyInPandas with the doc_runs idiom; one numpy call per
+    document slice."""
+    from pyspark.sql import functions as F
+
+    from eynollah_spark.packaging import ensure_distributed
+
+    spark = flat_input.sparkSession
+    ensure_distributed(spark)
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
+    txt = flat_input.filter(F.col("kind") == "text").select(
+        "doc_id", "width", "height", "x0", "x1", "y0", "y1",
+        F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("_bucket"))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        from eynollah_spark.kernels import doc_runs
+        from eynollah_spark.kernels.deskew import estimate_skew
+
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                 "angle_deg": pd.Series([], dtype=float)})
+        order, starts, ends = doc_runs(b["doc_id"])
+        ids = b["doc_id"].to_numpy(dtype=object)[order]
+        x0 = b["x0"].to_numpy(float)[order]
+        x1 = b["x1"].to_numpy(float)[order]
+        y0 = b["y0"].to_numpy(float)[order]
+        y1 = b["y1"].to_numpy(float)[order]
+        W = b["width"].to_numpy(float)[order]
+        H = b["height"].to_numpy(float)[order]
+        out_id, out_a = [], []
+        for s, e in zip(starts, ends):
+            ang = 0.0
+            if e - s >= 8:  # the kernel's text-line gate
+                cx = (x0[s:e] + x1[s:e]) / 2.0
+                cy = (y0[s:e] + y1[s:e]) / 2.0
+                ang = estimate_skew(cx, cy,
+                                    np.maximum(x1[s:e] - x0[s:e], 1.0),
+                                    np.maximum(y1[s:e] - y0[s:e], 1.0),
+                                    W[s], H[s])
+                if abs(ang) < 0.75:  # the kernel's apply threshold
+                    ang = 0.0
+            out_id.append(ids[s])
+            out_a.append(float(ang))
+        return pd.DataFrame({"doc_id": out_id, "angle_deg": out_a})
+
+    return txt.groupBy("_bucket").applyInPandas(
+        fn, schema="doc_id string, angle_deg double")
+
+
+def rotate_geometry(rows: DataFrame, angles: DataFrame,
+                    inverse: bool = False) -> DataFrame:
+    """C9 closure (deskewed<->original coordinate mapping, the symbolic
+    form of utils/contour.py:258-391's contour back-projection): rotate
+    every box center around the page center by the doc's deskew angle
+    (inverse=False -> original frame to deskewed frame; inverse=True ->
+    back), extents preserved — identical math to kernels/deskew.py
+    rotate_boxes, expressed as PURE COLUMN ARITHMETIC so it runs
+    JVM-side in codegen: the only cost is the hash join on doc_id
+    against the (small) per-doc angle table."""
+    from pyspark.sql import functions as F
+
+    r = rows.join(angles, "doc_id", "left").withColumn(
+        "_a", F.radians(F.coalesce(
+            -F.col("angle_deg") if inverse else F.col("angle_deg"),
+            F.lit(0.0))))
+    s, c = F.sin("_a"), F.cos("_a")
+    cx = (F.col("x0") + F.col("x1")) / 2 - F.col("width") / 2
+    cy = (F.col("y0") + F.col("y1")) / 2 - F.col("height") / 2
+    ncx = c * cx + s * cy + F.col("width") / 2
+    ncy = -s * cx + c * cy + F.col("height") / 2
+    w2 = (F.col("x1") - F.col("x0")) / 2
+    h2 = (F.col("y1") - F.col("y0")) / 2
+    # one select, never chained withColumn: w2/h2 are unresolved
+    # expressions over x0/x1, so replacing x0 first would silently feed
+    # the NEW x0 into x1's computation
+    keep = [c for c in r.columns
+            if c not in ("x0", "x1", "y0", "y1", "_a", "angle_deg")]
+    return r.select(
+        *keep,
+        (ncx - w2).alias("x0"), (ncx + w2).alias("x1"),
+        (ncy - h2).alias("y0"), (ncy + h2).alias("y1"))
+
+
 def to_pagexml_df(rows: DataFrame) -> DataFrame:
     """(doc_id, ord, kind, text, media_ref, offset, width, height,
     x0..y1) -> (doc_id, xml). One XML string per document; grouped
