@@ -508,9 +508,13 @@ def main():
                 for _ in range(jvms)]
         best = min(runs, key=lambda r: r["extract_wall_sec"])
         best["extract_all_jvm_walls"] = [r["extract_wall_sec"] for r in runs]
+        # 4 presorted JVMs per level: the flagship gate (N->4N efficiency)
+        # is best-of-JVMs at BOTH levels, and the microVM's steal band is
+        # wide enough that 3 samples sometimes miss a clean window at one
+        # of them (r3: driver-roll 0.793 vs best-window 0.924)
         pres = [run_worker(c, corpus, None, "", zip_path,
                            presorted=True, trials=3, with_control=True)
-                for _ in range(max(2, n_jvm) + 1)]
+                for _ in range(max(3, n_jvm) + 1)]
         pre = min(pres, key=lambda r: r["extract_wall_sec"])
         ctl = [v for r in pres for v in r.get("control_rates", [])]
         ctrl_e2e[c] = max(ctl)
