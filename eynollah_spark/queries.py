@@ -468,6 +468,18 @@ def _minhash_pairs_cte(d, src="docs_nd", cap=64):
     never by exploding shingles x 128 into a 128x-wider shuffle. The 16
     band branches re-reference the tiny (n_docs x 128) aggregate;
     Spark's exchange reuse dedupes the upstream shingle scan."""
+    return f"""{_shingles_cte(d, src)},
+ds AS (SELECT DISTINCT doc_id, sh FROM shingles),
+{_minhash_chain_cte(d, cap=cap)}"""
+
+
+def _minhash_chain_cte(d, cap=64, ds="ds"):
+    """The minhash chain from an existing shingle relation `ds` onward:
+    mh -> sigs -> capped -> glist -> pairs. Split out so a Spark caller
+    can MATERIALIZE ds once (cache + temp view) and reference it from
+    multiple downstream joins — Spark inlines CTEs, so a 4x-referenced
+    shingle CTE re-executes 4x (r2 finding); DuckDB callers keep the
+    plain composed CTE."""
     st = "STRING" if d == "spark" else "VARCHAR"
     mins = ",\n         ".join(
         f"MIN(({_mh_a(i)} * (sh % {_MH_P}) + {_mh_c(i)}) % {_MH_P}) AS m{i}"
@@ -476,21 +488,16 @@ def _minhash_pairs_cte(d, src="docs_nd", cap=64):
         _hash32(d, "CONCAT_WS(',', " + ", ".join(
             f"CAST(m{8 * b + j} AS {st})" for j in range(8)) + ")")
         for b in range(_MH_BANDS)]
-    # unpivot the 16 band signatures in ONE pass over the aggregate —
-    # a 16-way UNION ALL would re-run the 128-min HashAggregate 16x
-    # (Spark inlines CTEs; only the exchange below it gets reused)
     if d == "spark":
         sigs = ("SELECT doc_id, posexplode(array(" + ", ".join(band_sigs)
                 + ")) AS (band, sig) FROM mh")
     else:
         sigs = ("SELECT doc_id, unnest(range(0, 16)) AS band, unnest(["
                 + ", ".join(band_sigs) + "]) AS sig FROM mh")
-    return f"""{_shingles_cte(d, src)},
-ds AS (SELECT DISTINCT doc_id, sh FROM shingles),
-mh AS (
+    return f"""mh AS (
   SELECT doc_id,
          {mins}
-  FROM ds GROUP BY doc_id
+  FROM {ds} GROUP BY doc_id
 ),
 sigs AS (
   {sigs}
@@ -519,20 +526,61 @@ pairs AS (
 )"""
 
 
-_both("dedup_ngram_jaccard", ("documents",), lambda d: f"""
-WITH {_planted_docs_cte()},
-{_minhash_pairs_cte(d, src="docs_nd")},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+def _jaccard_tail_sql(ds: str) -> str:
+    """sizes + exact shingle-intersection Jaccard over candidate pairs,
+    reading shingles from relation `ds` (dialect-neutral). sizes is
+    computed only for docs that appear in a candidate pair — at 10^9
+    docs a full per-doc COUNT would shuffle the whole shingle table for
+    a handful of candidates; the cand_docs dim is tiny and broadcasts."""
+    return f"""
+cand_docs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs) u
+),
+sizes AS (
+  SELECT d.doc_id, COUNT(*) AS n
+  FROM {ds} d JOIN cand_docs c ON c.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
 inter AS (
   SELECT p.doc_a, p.doc_b, CAST(MAX(p.n_bands) AS INT) AS n_bands, COUNT(*) AS common
-  FROM pairs p JOIN ds a ON a.doc_id = p.doc_a
-               JOIN ds b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  FROM pairs p JOIN {ds} a ON a.doc_id = p.doc_a
+               JOIN {ds} b ON b.doc_id = p.doc_b AND b.sh = a.sh
   GROUP BY p.doc_a, p.doc_b
 )
 SELECT i.doc_a, i.doc_b, i.n_bands,
        ROUND(CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common), 4) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.5
+WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.5"""
+
+
+def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-candidates + exact n-gram Jaccard, Spark side. The shingle
+    relation is referenced FOUR times downstream (minhash aggregate,
+    per-doc sizes, both intersection sides); Spark inlines CTEs, so the
+    pure-SQL form re-tokenizes the corpus 4x (measured ~11 s vs ~3 s for
+    one pass at sf0.1). Materialize `ds` ONCE (cache + temp view) and
+    run the identical chain over it — on a cluster this is the standard
+    dataset-reuse checkpoint before a multi-join fan-out. DuckDB keeps
+    the single composed CTE (its optimizer shares the subplan)."""
+    load_views(spark, sf_dir, "documents")
+    prev = getattr(_ngram_jaccard_spark, "_cached", None)
+    if prev is not None:
+        prev.unpersist()  # repeated invocations must not pile up caches
+    ds = spark.sql(
+        f"WITH {_planted_docs_cte()},\n{_shingles_cte('spark', 'docs_nd')}\n"
+        "SELECT DISTINCT doc_id, sh FROM shingles")
+    ds.cache().createOrReplaceTempView("_jacc_ds")
+    _ngram_jaccard_spark._cached = ds
+    return spark.sql(
+        f"WITH {_minhash_chain_cte('spark', ds='_jacc_ds')},"
+        f"{_jaccard_tail_sql('_jacc_ds')}")
+
+
+_fn("dedup_ngram_jaccard", ("documents",), _ngram_jaccard_spark, duck_sql=f"""
+WITH {_planted_docs_cte()},
+{_minhash_pairs_cte("duck", src="docs_nd")},
+{_jaccard_tail_sql("ds")}
 """)
 # n-gram Jaccard near-dup, scale-safe shape (VERDICT r1 item 2):
 # candidate pairs come from capped MinHash band buckets — NEVER from a

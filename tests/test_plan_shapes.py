@@ -78,12 +78,15 @@ def test_ngram_jaccard_no_unbounded_shingle_selfjoin(spark):
 
     load_views(spark, SF_DIR, "documents")
     q = registry()["dedup_ngram_jaccard"]
-    p = spark.sql(q["spark_sql"])._jdf.queryExecution().explainString(
+    # r4: the Spark side is a spark_fn (materialized shingle checkpoint);
+    # audit the actual DataFrame it builds
+    df = q["spark_fn"](spark, SF_DIR)
+    p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
     assert re.search(r"hashpartitioning\(sh#\d+[LstringbigN ]*, \d+\)", p) is None, \
         "found an exchange keyed on the raw shingle hash alone"
     # and the SQL itself draws candidates from the capped band buckets
-    assert "pairs" in q["spark_sql"] and "BETWEEN 2 AND" in q["spark_sql"]
+    assert "pairs" in q["duck_sql"] and "BETWEEN 2 AND" in q["duck_sql"]
 
 
 def test_full_layout_plan_no_pathological_joins(spark):
