@@ -144,3 +144,20 @@ def test_no_query_plans_a_cartesian_or_row_python(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_registry_fits_driver_cap_and_orders_unchecked_first():
+    """The driver's CORRECTNESS file records at most 50 queries (observed
+    r2+r3); the registry must never exceed that or trailing queries
+    silently lose their correctness evidence, and the entries with the
+    shortest driver history must enumerate first."""
+    from eynollah_spark.queries import _DRIVER_FIRST, registry
+
+    r = registry()
+    assert len(r) <= 50, len(r)
+    names = list(r)
+    for i, n in enumerate(_DRIVER_FIRST):
+        assert names[i] == n, (i, names[i], n)
+    # every entry still has an oracle (duck_sql) or is a documented
+    # rows-only fn — currently all 50 carry a duck_sql
+    assert all(q.get("duck_sql") for q in r.values())
