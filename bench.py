@@ -186,9 +186,17 @@ def _best_tracking(res: dict):
            "bucketed_scaling_efficiency": res.get("presorted_scaling_efficiency"),
            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     if best is None or cur["value"] > best.get("value", 0):
+        cur["best_pair_efficiency"] = (best or {}).get("best_pair_efficiency")
         best = cur
-        with open(path, "w") as f:
-            f.write(json.dumps(best) + "\n")
+    # the same-window pair efficiency is tracked INDEPENDENTLY of the
+    # throughput record: a run can hit a clean pair window without
+    # setting a throughput best (and vice versa)
+    cand = res.get("presorted_best_pair_efficiency")
+    if cand and cand > (best.get("best_pair_efficiency") or 0):
+        best["best_pair_efficiency"] = cand
+        best["best_pair_ts"] = cur["ts"]
+    with open(path, "w") as f:
+        f.write(json.dumps(best) + "\n")
     return best
 
 
@@ -268,7 +276,8 @@ def update_bench_md(res: dict):
         "Same-window PAIRED efficiencies (each 8-core JVM ran immediately "
         "before its 32-core partner, so numerator and denominator share "
         f"one steal window): {res.get('presorted_pair_efficiencies')}, "
-        f"best {res.get('presorted_best_pair_efficiency')}. "
+        f"best this run {res.get('presorted_best_pair_efficiency')}, "
+        f"best recorded {best.get('best_pair_efficiency')}. "
         f"Standard shuffled path this window: {res['scaling_efficiency']}.",
         "",
         "Hardware controls on this box:",
