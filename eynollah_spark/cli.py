@@ -89,6 +89,12 @@ def main(argv=None):
                         "reference's contract, C9); 'deskewed' = rotated "
                         "by the page's estimated skew angle")
 
+    p = sub.add_parser("plot", help="layout diagnostics: one SVG per page "
+                       "(the reference's --enable-plotting/save_plot_of_layout "
+                       "surface, raster-free)")
+    p.add_argument("--input", required=True, help="flat span parquet")
+    p.add_argument("--output", required=True, help="directory for <doc_id>.svg")
+
     p = sub.add_parser("process", help="F7: PAGE-XML workspace in -> "
                        "reading-ordered PAGE-XML out (resumable)")
     p.add_argument("--input", required=True, help="directory of *.xml pages")
@@ -157,6 +163,17 @@ def main(argv=None):
             fn = multimodal.binarize if args.cmd == "binarize" else multimodal.enhance
             fn(media).write.mode("overwrite").parquet(args.output)
             print(json.dumps({"ok": True, "output": args.output}))
+        elif args.cmd == "plot":
+            from eynollah_spark.pagexml import attach_geometry, page_deskew_angles
+            from eynollah_spark.pipeline import extract_flat_input
+            from eynollah_spark.plot import to_svg_df, write_svg_dir
+
+            flat = spark.read.parquet(args.input)
+            out = extract_flat_input(flat)
+            rows = attach_geometry(out, flat)
+            n = write_svg_dir(to_svg_df(rows, angles=page_deskew_angles(flat)),
+                              args.output)
+            print(json.dumps({"ok": True, "pages": n, "output": args.output}))
         elif args.cmd == "process":
             from eynollah_spark.processor import SparkLayoutProcessor
 
