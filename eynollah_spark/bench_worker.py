@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--with-control", action="store_true",
                     help="alternate an e2e hardware-control sample after every "
                          "Spark trial (same ~40s steal window -> honest pair ratios)")
+    ap.add_argument("--skew-nested", default=None,
+                    help="skew-stress mode (VERDICT r4 item 6): path to a NESTED "
+                         "docs parquet with a heavy span-count tail; times the "
+                         "nested extract() twice per trial — salted (default "
+                         "heavy_threshold) vs unsalted (threshold=2^30) — in "
+                         "the same JVM/steal window")
     ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--sf-dir", default=None, help="run headline queries against this dir")
     ap.add_argument("--queries", default="", help="comma-separated query names")
@@ -174,6 +180,40 @@ def main():
                            "best_pair_ratio": max(pair)})
 
 
+    if args.skew_nested:
+        from eynollah_spark.pipeline import extract
+
+        docs = spark.read.parquet(args.skew_nested)
+        n_docs_sk = docs.count()
+        # both plans built once, untimed; identical work except the
+        # repartition key space (salted isolates the heavy tail into its
+        # own hash space so a 10^4-span doc never piles onto a partition
+        # already holding other heavy docs)
+        def _agg(df):
+            return df.select(
+                F.count("*").alias("rows"),
+                F.expr("bit_xor(xxhash64(doc_id, ord, kind, offset))").alias("checksum"))
+
+        salted_df = _agg(extract(docs, partitions=args.cpus * 4, nested=False,
+                                 fail_fast=False))
+        unsalted_df = _agg(extract(docs, partitions=args.cpus * 4, nested=False,
+                                   fail_fast=False, heavy_threshold=1 << 30))
+        walls = {"salted": [], "unsalted": []}
+        cks = {}
+        for _ in range(args.trials):
+            for name, df in (("salted", salted_df), ("unsalted", unsalted_df)):
+                t0 = time.time()
+                row = df.first()
+                walls[name].append(round(time.time() - t0, 3))
+                cks[name] = int(row["checksum"])
+        assert cks["salted"] == cks["unsalted"], cks  # salting never changes output
+        result.update({
+            "skew_n_docs": n_docs_sk,
+            "skew_salted_wall_sec": min(walls["salted"]),
+            "skew_unsalted_wall_sec": min(walls["unsalted"]),
+            "skew_walls": walls,
+        })
+
     if args.sf_dir and args.queries:
         sys.path.insert(0, "/root/repo")
         import __spark_entry__ as entrymod
@@ -189,6 +229,25 @@ def main():
             df.count()
             timings[name] = round(time.time() - t0, 3)
         result["queries"] = timings
+
+    # driver-memory high-water marks (VERDICT r4 item 7: the sf1
+    # confidence run must show no driver-side state growth): the local
+    # JVM's VmHWM (driver+executors share it in local mode) and this
+    # python driver process's own peak RSS
+    try:
+        import resource
+
+        jvm_pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{jvm_pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    result["jvm_vmhwm_mb"] = round(
+                        int(line.split()[1]) / 1024, 1)
+                    break
+        result["py_driver_maxrss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+    except Exception:
+        pass
 
     print("BENCH_WORKER " + json.dumps(result))
     spark.stop()

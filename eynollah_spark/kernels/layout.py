@@ -705,12 +705,18 @@ def layout_permutation(doc: DocSpans):
         num_col_est = max(1, int((masses >= 0.15 * masses.sum()).sum()))
     else:
         num_col_est = 1
-    # B5 user clamp (eynollah.py:411-416): CLI num_col_lower/_upper bound
-    # the estimate; equal bounds pin it outright
-    if doc.num_col_lower:
-        num_col_est = max(num_col_est, int(doc.num_col_lower))
-    if doc.num_col_upper:
-        num_col_est = min(num_col_est, int(doc.num_col_upper))
+    # B5 user bounds, matching the reference's branch structure exactly
+    # (eynollah.py:322-335 and 391-416): a SINGLE bound PINS num_col to
+    # that value (upper-only or lower-only forces it — the reference
+    # skips the classifier entirely); both-set-and-equal also pins; only
+    # both-set-and-unequal clamps the estimate from both sides.
+    lo, hi = int(doc.num_col_lower or 0), int(doc.num_col_upper or 0)
+    if hi and not lo:
+        num_col_est = hi
+    elif lo and not hi:
+        num_col_est = lo
+    elif lo and hi:
+        num_col_est = hi if lo == hi else min(max(num_col_est, lo), hi)
 
     # --- C10 marginalia over text lines
     marg_mask_t, main_lo, main_hi = split_main_and_marginal(

@@ -8,11 +8,30 @@ anti-join against a manifest table (SURVEY.md A4).
 
 The unit of checkpointing is a *partition bucket*: part =
 pmod(xxhash64(doc_id), n_parts). Each run processes the buckets absent
-from the manifest, appends results parquet-partitioned by `part`, and
-appends one manifest row per bucket with lineage + metrics. On Iceberg
-this would be one snapshot per bucket (writeTo().overwritePartitions());
-on plain parquet we emulate with directory partitions, which keeps the
-same resume semantics.
+from the manifest and commits them as a SNAPSHOT (VERDICT r4 item 5 —
+the Iceberg contract emulated without the jar, which cannot enter this
+sandbox):
+
+  {out}/data/snap-<id>/part=<p>/*.parquet   append-only data files
+  {out}/_manifests/snap-<id>.json           the commit point (atomic
+                                            tmp+rename; written AFTER
+                                            the data, so a crash leaves
+                                            an ignored orphan data dir,
+                                            never a torn table — the
+                                            same metadata-swap commit
+                                            Iceberg uses)
+
+Snapshot ids are monotonically increasing; the table state at any id is
+reconstructed by replaying the manifest log: each part is served by the
+LATEST snapshot <= id that wrote it (read_as_of). rollback(id) drops
+manifests > id — their data dirs become unreferenced, the affected
+parts fall out of completed_parts, and the next run_extraction
+reprocesses exactly those buckets into a fresh snapshot (ids never
+reuse an existing data dir, so rollback + resume is idempotent).
+Reads prune at the directory level: only the part=<p> dirs the
+assignment references are listed, so as-of reads stay partition-pruned
+at any snapshot count. On a real deployment write_bucket_iceberg
+replaces all of this with writeTo().overwritePartitions() snapshots.
 """
 
 from __future__ import annotations
@@ -29,6 +48,100 @@ from eynollah_spark.pipeline import extract
 
 def _manifest_path(out_path: str) -> str:
     return os.path.join(out_path, "_manifests")
+
+
+def _data_path(out_path: str) -> str:
+    return os.path.join(out_path, "data")
+
+
+def _snap_dir(out_path: str, sid: int) -> str:
+    return os.path.join(_data_path(out_path), f"snap-{sid:06d}")
+
+
+def snapshots(out_path: str) -> list[dict]:
+    """The committed snapshot log, ascending by id. Pure metadata read —
+    one small JSON per commit, no Spark."""
+    mp = _manifest_path(out_path)
+    out = []
+    if not os.path.isdir(mp):
+        return out
+    for fname in os.listdir(mp):
+        if fname.startswith("snap-") and fname.endswith(".json"):
+            with open(os.path.join(mp, fname)) as f:
+                out.append(json.loads(f.read()))
+    out.sort(key=lambda s: s["snapshot_id"])
+    return out
+
+
+def current_snapshot_id(out_path: str) -> int | None:
+    snaps = snapshots(out_path)
+    return snaps[-1]["snapshot_id"] if snaps else None
+
+
+def _next_snapshot_id(out_path: str) -> int:
+    """1 + max over BOTH the manifest log and the data dirs: a rolled-back
+    (or crash-orphaned) data dir must never be reused by a new commit."""
+    ids = [s["snapshot_id"] for s in snapshots(out_path)]
+    dp = _data_path(out_path)
+    if os.path.isdir(dp):
+        for d in os.listdir(dp):
+            if d.startswith("snap-"):
+                try:
+                    ids.append(int(d.split("-", 1)[1]))
+                except ValueError:
+                    pass
+    return max(ids, default=0) + 1
+
+
+def _assignment(out_path: str, as_of: int | None = None) -> dict[int, int]:
+    """part -> serving snapshot id at snapshot `as_of` (None = current):
+    replay the log in id order, last writer <= as_of wins."""
+    assign: dict[int, int] = {}
+    for s in snapshots(out_path):
+        if as_of is not None and s["snapshot_id"] > as_of:
+            break
+        for p in s["parts"]:
+            assign[int(p)] = s["snapshot_id"]
+    return assign
+
+
+def read_as_of(spark: SparkSession, out_path: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Time-travel read (Iceberg VERSION AS OF contract): the table state
+    at `snapshot_id` (None = current). One directory-pruned parquet read
+    per serving snapshot — only the part=<p> dirs the assignment
+    references are listed — unioned JVM-side."""
+    from functools import reduce
+
+    assign = _assignment(out_path, as_of=snapshot_id)
+    if not assign:
+        raise ValueError(f"no snapshots at or before {snapshot_id!r} in {out_path}")
+    by_sid: dict[int, list[int]] = {}
+    for p, sid in assign.items():
+        by_sid.setdefault(sid, []).append(p)
+    frames = [
+        spark.read.option("basePath", _snap_dir(out_path, sid))
+        .parquet(*[os.path.join(_snap_dir(out_path, sid), f"part={p}")
+                   for p in sorted(parts)])
+        for sid, parts in sorted(by_sid.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def rollback(out_path: str, snapshot_id: int) -> int:
+    """Drop every snapshot with id > snapshot_id from the log (Iceberg
+    rollback-to-snapshot contract). Metadata-only: the dropped snapshots'
+    data dirs stay on disk as unreferenced orphans (expire/vacuum is a
+    separate concern, as in Iceberg), and ids are never reused, so a
+    subsequent run_extraction reprocesses the uncovered buckets into a
+    fresh snapshot. Returns the number of snapshots dropped."""
+    dropped = 0
+    for s in snapshots(out_path):
+        if s["snapshot_id"] > snapshot_id:
+            os.remove(os.path.join(_manifest_path(out_path),
+                                   f"snap-{s['snapshot_id']:06d}.json"))
+            dropped += 1
+    return dropped
 
 
 def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
@@ -57,13 +170,11 @@ def write_bucket_iceberg(out, table: str, create: bool = False) -> None:
         out.writeTo(table).overwritePartitions()
 
 
-def completed_parts(spark: SparkSession, out_path: str) -> set[int]:
-    mp = _manifest_path(out_path)
-    try:
-        m = spark.read.json(mp)
-        return {r["part"] for r in m.select("part").distinct().collect()}
-    except Exception:
-        return set()
+def completed_parts(spark: SparkSession, out_path: str,
+                    as_of: int | None = None) -> set[int]:
+    """Buckets covered by the (replayed) manifest log. `spark` is unused
+    (the log is driver-side JSON) but kept for call-site compatibility."""
+    return set(_assignment(out_path, as_of=as_of))
 
 
 def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
@@ -96,20 +207,21 @@ def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
         out = extract(sub.drop("part"), partitions=partitions, nested=False,
                       fail_fast=False, **(extract_kwargs or {}))
         out = out.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
+        sid = _next_snapshot_id(out_path)
         if use_iceberg:
             write_bucket_iceberg(out, iceberg_table, create=(i == 0 and not done))
         else:
-            (out.write.mode("overwrite")
-                .partitionBy("part")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(os.path.join(out_path, "out")))
+            # append-only snapshot data dir; the manifest json below is
+            # the commit point — a crash between the two leaves an
+            # orphan dir the log never references (ids are not reused)
+            out.write.partitionBy("part").parquet(_snap_dir(out_path, sid))
         # lineage + metrics per bucket (span counts, kind histogram) —
-        # computed from the parquet partitions just written, NOT by
+        # computed from the parquet files just written, NOT by
         # re-aggregating the uncached `out` plan (which would re-run the
         # whole kernel stage a second time per batch); this also makes
         # the recorded metrics reflect the committed files.
         committed = (spark.table(iceberg_table) if use_iceberg
-                     else spark.read.parquet(os.path.join(out_path, "out")))
+                     else spark.read.parquet(_snap_dir(out_path, sid)))
         written = committed.filter(F.col("part").isin(batch))
         stats = (written.groupBy("part")
                  .agg(F.count("*").alias("spans"),
@@ -120,18 +232,28 @@ def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
                     F.collect_list(F.struct("kind", "count")))).alias("kind_hist")))
         rows = {r["part"]: r.asDict() for r in stats.join(hist, "part", "left").collect()}
         wall = time.time() - t0
+        parts_meta = {}
         for p in batch:
             r = rows.get(p, {"spans": 0, "docs": 0, "kind_hist": "{}"})
-            manifest = {
-                "part": p, "kernel_version": KERNEL_VERSION,
+            parts_meta[str(p)] = {
                 "docs": r["docs"], "spans": r["spans"],
                 "kind_hist": r.get("kind_hist") or "{}",
                 "wall_sec": round(wall / len(batch), 3),
-                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            with open(os.path.join(_manifest_path(out_path), f"part-{p}.json"), "w") as f:
-                f.write(json.dumps(manifest) + "\n")
             summary["processed"] += 1
             summary["docs"] += r["docs"]
             summary["spans"] += r["spans"]
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": current_snapshot_id(out_path),
+            "kernel_version": KERNEL_VERSION,
+            "n_parts": n_parts,
+            "parts": parts_meta,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = os.path.join(_manifest_path(out_path), f".snap-{sid:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest) + "\n")
+        os.rename(tmp, os.path.join(_manifest_path(out_path), f"snap-{sid:06d}.json"))
+        summary.setdefault("snapshot_ids", []).append(sid)
     return summary

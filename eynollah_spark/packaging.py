@@ -19,18 +19,37 @@ _shipped: set[int] = set()
 
 
 def build_zip(cache_dir: str | None = None) -> str:
-    """Build the --py-files zip atomically (tmp + rename): concurrent
-    Spark jobs may be reading the previous zip while we rebuild."""
+    """Build the --py-files zip CONTENT-ADDRESSED: the filename carries a
+    hash of the source payload, so a rebuild never mutates a path an
+    already-running session imported from. (python's zipimport caches
+    the zip TOC per *path*; replacing the bytes under the same name —
+    even via atomic rename — poisons long-lived executor workers with
+    'bad local file header'. Observed live in r5 when a test session
+    rebuilt the zip mid-bench.) Identical source → identical path →
+    no write at all."""
+    import hashlib
+
     cache_dir = cache_dir or os.path.join(_REPO, ".cache")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, "eynollah_spark.zip")
+    h = hashlib.sha1()
+    payload = []
+    for root, _, files in os.walk(_PKG_DIR):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                payload.append((full, os.path.relpath(full, _REPO)))
+    payload.sort(key=lambda t: t[1])
+    for full, rel in payload:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    path = os.path.join(cache_dir, f"eynollah_spark-{h.hexdigest()[:10]}.zip")
+    if os.path.exists(path):
+        return path
     tmp = f"{path}.tmp.{os.getpid()}"
     with zipfile.ZipFile(tmp, "w") as z:
-        for root, _, files in os.walk(_PKG_DIR):
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, _REPO))
+        for full, rel in payload:
+            z.write(full, rel)
     os.replace(tmp, path)
     return path
 
@@ -44,7 +63,8 @@ def ensure_distributed(spark: SparkSession) -> None:
     if key in _shipped:
         return
     try:
-        already = any("eynollah_spark.zip" in f for f in sc.listFiles)
+        already = any("eynollah_spark" in f and f.endswith(".zip")
+                      for f in sc.listFiles)
     except Exception:
         already = False
     if not already:

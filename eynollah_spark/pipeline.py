@@ -86,11 +86,25 @@ def filter_printspace(flat: DataFrame, frame=None,
         fy0 = margin_frac * F.col("height")
         fy1 = (1 - margin_frac) * F.col("height")
     keep = (cx >= fx0) & (cx <= fx1) & (cy >= fy0) & (cy <= fy1)
-    if keep_null_spans:
-        # posexplode_outer null-span rows (empty documents) must survive
-        # so nested mode still emits their empty out_spans row
-        keep = F.col("kind").isNull() | keep
-    return flat.filter(keep)
+    if not keep_null_spans:
+        return flat.filter(keep)
+    # posexplode_outer null-span rows (empty documents) must survive so
+    # nested mode still emits their empty out_spans row — and (ADVICE r4)
+    # a document whose EVERY span fell outside the printspace must not
+    # vanish either: it re-enters as one synthetic null-span row,
+    # preserving the one-row-per-doc contract resume/count logic relies
+    # on. The re-emit costs one per-doc distinct + anti-join on doc_id —
+    # keyed shuffles only, and only on the keep_null_spans path.
+    kept = flat.filter(F.col("kind").isNull() | keep)
+    span_cols = {"kind", "text", "media_ref", "offset", "x0", "x1", "y0", "y1"}
+    lost = (flat.join(kept.select("doc_id").distinct(), "doc_id", "left_anti")
+            .dropDuplicates(["doc_id"])
+            .select(*[
+                F.lit(None).cast(flat.schema[c].dataType).alias(c)
+                if c in span_cols else F.col(c)
+                for c in flat.columns
+            ]))
+    return kept.unionByName(lost)
 
 
 def flatten(df: DataFrame) -> DataFrame:
@@ -641,7 +655,10 @@ def extract_full_layout(flat: DataFrame, partitions: int | None = None,
     out = extract_flat_input(flat, partitions=partitions, fail_fast=fail_fast,
                              num_col_lower=num_col_lower, num_col_upper=num_col_upper)
     rows = attach_geometry(out, flat)
-    # headers_off (cli_layout.py:111-115): ignore the headers role — skip
-    # heading reclassification so headings stay plain text in the output
-    refined = rows if headers_off else refine_kinds(rows, scorer=scorer)
+    # headers_off (cli_layout.py:111-115): ignore the headers role only —
+    # refine_kinds still runs so drop-capital reclassification (and the
+    # C14 adhesion below, which needs it) is unaffected, matching the
+    # reference where headers_off merely drops headers from reading-order
+    # treatment (eynollah.py:2420-2446)
+    refined = refine_kinds(rows, scorer=scorer, headers_off=headers_off)
     return adhere_drop_capitals(refined)

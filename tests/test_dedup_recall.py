@@ -101,6 +101,57 @@ def test_ann_recall_on_planted_clusters():
     assert recall >= 0.95, recall
 
 
+def test_ann_hot_bucket_saturation_degrades_gracefully():
+    """VERDICT r4 item 8: plant a near-dup cluster LARGER than the
+    probe-side cap and pin graceful degradation. 600 exact copies of
+    query 0's vector land in its own bucket in every LSH table, pushing
+    those buckets past _ANN_PROBE_CAP=512 — the capped probes are
+    skipped (a hot bucket costs a skipped probe, never a linear scan),
+    so: (a) no copy reaches query 0's top-5 through the saturated
+    bucket, (b) query 0 still answers from its distance-1 probes,
+    (c) the other queries' recall is untouched, and (d) the total
+    candidate volume stays under the static probes×tables×cap bound."""
+    from eynollah_spark.queries import (
+        _ANN_PROBE_CAP,
+        _LSH_BITS,
+        _LSH_TABLES,
+    )
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW base AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    c.sql("""
+        CREATE VIEW embeddings AS
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT 20000 + k.k AS vec_id, b.embedding
+        FROM base b CROSS JOIN (SELECT unnest(range(0, 600)) AS k) k
+        WHERE b.vec_id = 0
+    """)
+    r = registry()
+    rows = c.sql(r["sim_ann_topk"]["duck_sql"]).fetchall()
+    by_q = {}
+    for q, _rk, v, _s in rows:
+        by_q.setdefault(q, set()).add(v)
+    # (a) the saturated bucket is skipped: none of the 600 sim=1.0
+    # copies can reach query 0's list (they coexist with it ONLY in the
+    # capped buckets), where an uncapped probe would fill all 5 slots
+    assert all(v < 20000 for v in by_q.get(0, set())), by_q.get(0)
+    # (b) query 0 still answers via distance-1 probes
+    assert len(by_q.get(0, set())) > 0
+    # (c) unaffected queries keep recall vs the exact top-5
+    exact = {}
+    for q, _rk, v, _s in c.sql(r["sim_topk_cosine"]["duck_sql"]).fetchall():
+        exact.setdefault(q, set()).add(v)
+    hits = sum(len(exact[q] & by_q.get(q, set())) for q in range(1, 5))
+    total = sum(len(exact[q]) for q in range(1, 5))
+    assert hits / total >= 0.8, (hits, total)
+    # (d) candidate volume bounded by the static cap arithmetic
+    head = r["sim_ann_topk"]["duck_sql"].split("scored AS")[0].rstrip().rstrip(",")
+    n_cand = c.sql(head + "\nSELECT COUNT(*) AS n FROM cand").fetchone()[0]
+    bound = 5 * (1 + _LSH_BITS) * _LSH_TABLES * _ANN_PROBE_CAP
+    assert n_cand <= bound, (n_cand, bound)
+
+
 def test_boilerplate_chunks_discriminate(con):
     """Sub-document boilerplate op must separate docs, not saturate: the
     corpus yields a spread of boilerplate fractions (mean ~0.5), with

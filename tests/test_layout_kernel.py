@@ -67,6 +67,37 @@ def test_empty_and_degenerate_docs():
     assert perm.tolist() == [0] and kinds[0] == "text"
 
 
+def test_single_num_col_bound_pins_not_clamps():
+    """Reference branch structure (eynollah.py:322-335, 391-416): with
+    only ONE of num_col_lower/upper set, num_col is FORCED to that bound
+    (the classifier is skipped entirely) — not merely clamped. Observable
+    here: pinning to 3 disables the marginalia channel (which only runs
+    for num_col <= 2) even on a page whose auto-estimate is 1-2 columns,
+    where a mere upper-clamp would leave the estimate (and the
+    marginalia) unchanged."""
+    import dataclasses
+
+    base = None
+    for doc_id in FIXTURE_FILES:
+        d = doc_to_arrays(load_fixture(doc_id))
+        _, kinds = layout_document(d)
+        if "marginalia" in set(kinds):
+            base = d
+            break
+    assert base is not None, "no fixture page with marginalia"
+    # upper-only pins num_col to 3 -> marginalia channel off
+    _, k_up = layout_document(dataclasses.replace(base, num_col_upper=3))
+    assert "marginalia" not in set(k_up)
+    # lower-only pins likewise
+    _, k_lo = layout_document(dataclasses.replace(base, num_col_lower=3))
+    assert "marginalia" not in set(k_lo)
+    # both set and UNEQUAL -> clamp only; a [1,2] clamp spans the
+    # auto-estimate so the page is unchanged, marginalia survives
+    _, k_cl = layout_document(dataclasses.replace(base, num_col_lower=1,
+                                                  num_col_upper=2))
+    assert "marginalia" in set(k_cl)
+
+
 def test_line_sort_rows_then_x():
     # two rows, two lines each (D1, eynollah.py:891-944)
     cx = np.array([500.0, 100.0, 500.0, 100.0])

@@ -88,8 +88,10 @@ def test_manifest_resume(spark, corpus, tmp_path_factory):
     # resume: nothing left to do
     s2 = run_extraction(docs, out_dir, n_parts=4, partitions=8)
     assert s2["processed"] == 0 and s2["skipped"] == 4
-    # output complete & correct despite two separate write batches
-    got = spark.read.parquet(f"{out_dir}/out")
+    # output complete & correct despite two separate snapshot commits
+    from eynollah_spark.manifest import read_as_of
+
+    got = read_as_of(spark, out_dir)
     assert _mismatches(got.drop("part"), expected_spark(corpus)) == 0
     docs.unpersist()
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -112,6 +114,15 @@ def test_filter_printspace(spark):
     plan = filter_printspace(flat, frame=(200, 900, 150, 800)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+    # keep_null_spans: a doc whose EVERY span falls outside the frame
+    # must re-enter as one null-span row — the one-row-per-doc contract
+    # (ADVICE r4). An impossible frame empties every doc; each must
+    # survive as exactly one row with null span fields.
+    all_docs = flat.select("doc_id").distinct().count()
+    k = filter_printspace(flat, frame=(-10, -5, -10, -5), keep_null_spans=True)
+    assert k.count() == all_docs
+    assert k.filter(F.col("kind").isNull()).count() == all_docs
+    assert k.select("doc_id").distinct().count() == all_docs
     flat.unpersist()
 
 

@@ -121,12 +121,48 @@ def test_ann_probe_side_bucket_cap(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
 
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Lines whose WindowExec has NO partition spec — the single-task
+    funnel Spark itself warns about ('No Partition Defined ... Moving all
+    data to a single partition'). A Window line prints as
+    `Window [exprs], [partitionSpec], [orderSpec]` with empty specs
+    omitted: 3 top-level bracket groups = partitioned+ordered (OK);
+    2 groups whose LAST is an order spec (contains ASC/DESC) =
+    unpartitioned+ordered (flag); 2 groups ending in a bare attribute
+    list = partitioned, no order (OK); 1 group = whole-relation window
+    (flag)."""
+    flagged = []
+    for line in plan.splitlines():
+        i = line.find("Window [")
+        if i < 0:
+            continue
+        groups, depth, start = [], 0, None
+        for j, ch in enumerate(line[i:], i):
+            if ch == "[":
+                if depth == 0:
+                    start = j
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[start:j + 1])
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not (" ASC" in groups[-1] or " DESC" in groups[-1]):
+            continue  # partitioned, no order spec
+        flagged.append(line.strip())
+    return flagged
+
+
 def test_no_query_plans_a_cartesian_or_row_python(spark):
     """Sweeping audit over EVERY registry query at sf0.001: no
-    CartesianProduct anywhere, and no row-at-a-time Python evaluation
-    (BatchEvalPython) — Python is allowed only in Arrow/pandas form.
-    BroadcastNestedLoopJoin is allowed only for the labeled brute-force
-    baseline (sim_topk_cosine broadcasts 5 query rows on purpose)."""
+    CartesianProduct anywhere, no row-at-a-time Python evaluation
+    (BatchEvalPython) — Python is allowed only in Arrow/pandas form —
+    and (VERDICT r4 item 1) no single-partition WindowExec: a window
+    with no PARTITION BY funnels the entire relation through one task
+    at 10^9 rows. BroadcastNestedLoopJoin is allowed only for the
+    labeled brute-force baseline (sim_topk_cosine broadcasts 5 query
+    rows on purpose)."""
     import __spark_entry__ as entrymod
 
     BNLJ_OK = {"sim_topk_cosine"}
@@ -141,9 +177,24 @@ def test_no_query_plans_a_cartesian_or_row_python(spark):
             bad.append("BatchEvalPython")
         if "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
             bad.append("BroadcastNestedLoopJoin")
+        unp = _unpartitioned_windows(p)
+        if unp:
+            bad.append(f"unpartitioned Window: {unp[0][:120]}")
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_topk_users_plans_take_ordered(spark):
+    """events_topk_users must plan TakeOrderedAndProject (parallel
+    partial top-k per partition, k*P-row driver merge), never a
+    single-partition row_number window (VERDICT r4 item 1)."""
+    from eynollah_spark.queries import load_views, registry
+
+    load_views(spark, SF_DIR, "events")
+    p = _plan(spark.sql(registry()["events_topk_users"]["spark_sql"]))
+    assert "TakeOrderedAndProject" in p, p
+    assert not _unpartitioned_windows(p)
 
 
 def test_registry_fits_driver_cap_and_orders_unchecked_first():

@@ -112,12 +112,40 @@ def main():
         checks += [r["checksum"], rp["checksum"]]
     eff = round((curve[8] / curve[2]) / 4, 3)
     eff_pre = round((curve_pre[8] / curve_pre[2]) / 4, 3)
+    # Name the limiter (VERDICT r4 item 4): run the no-Spark e2e
+    # multiprocessing control at the same core counts IN THIS WINDOW —
+    # if the control's own 8→32-core efficiency matches the cluster
+    # curve's, the ceiling is the box (one machine's memory bandwidth +
+    # co-tenant steal shared by all executors), not Spark's
+    # cross-executor layer; if the control scales markedly better, the
+    # deficit is Spark-side and needs profiling.
+    from bench import e2e_control
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    ctl = e2e_control((2 * CORES_PER_EXEC, 8 * CORES_PER_EXEC), corpus,
+                      n_docs, trials=2)
+    ctl_lo, ctl_hi = ctl[2 * CORES_PER_EXEC], ctl[8 * CORES_PER_EXEC]
+    ctl_eff = round((ctl_hi / ctl_lo) / 4, 3)
+    norm = round(eff_pre / ctl_eff, 3) if ctl_eff else None
+    if norm is not None and norm >= 0.9:
+        limiter = ("single-box ceiling: all executors share one machine's "
+                   f"memory bandwidth + co-tenant steal — the no-Spark control "
+                   f"hit the same wall (control eff {ctl_eff}, cluster/control "
+                   f"= {norm}); on a real cluster each node brings its own "
+                   "bandwidth and the only cross-node stage is one hash shuffle")
+    else:
+        limiter = (f"Spark-side deficit: cluster eff {eff_pre} vs control "
+                   f"{ctl_eff} in the same window (ratio {norm}) — "
+                   "cross-executor layer needs profiling")
     res = {"mode": "standalone-cluster", "cores_per_executor": CORES_PER_EXEC,
            "curve_docs_per_sec": curve, "curve_bucketed_docs_per_sec": curve_pre,
            "walls": walls,
            "checksum_match": len(set(checks)) == 1,
            "scaling_efficiency_2_to_8": eff,
            "scaling_efficiency_bucketed_2_to_8": eff_pre,
+           "e2e_control_docs_per_sec": {str(k): v for k, v in ctl.items()},
+           "e2e_control_efficiency_same_window": ctl_eff,
+           "control_normalized_bucketed": norm,
+           "limiter": limiter,
            # kept for older BENCH.md renderers
            "executors_lo": 2, "executors_hi": 8,
            "docs_per_sec_2exec": curve[2], "docs_per_sec_8exec": curve[8],
