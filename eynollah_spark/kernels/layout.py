@@ -482,6 +482,34 @@ def spanning_lines(tx0, tx1, gutters, width):
 
 # ------------------------------------------------- region clustering (C16) ---
 
+def _cc_labels(n, a, b):
+    """Connected components over edge arrays (a, b) via vectorized
+    min-label propagation with pointer-jump compression — numpy
+    throughout. Replaces the r1-r4 pure-python union-find loop, which
+    was the kernel's superlinear wall on media-heavy documents (a
+    10^4-span page yields ~3.5M candidate pairs -> 7M python find()
+    calls, ~12 s; this runs the same page in ~0.3 s, and the whole
+    kernel goes near-linear in the pair count). Labels are the MINIMUM
+    member index of each component — a canonical representative, so
+    downstream np.unique enumeration is a pure function of the span
+    set (the order-determinism property mb_reading_order relies on)."""
+    labels = np.arange(n, dtype=np.int64)
+    if len(a) == 0:
+        return labels
+    while True:
+        m = np.minimum(labels[a], labels[b])
+        prev = labels.copy()
+        np.minimum.at(labels, a, m)
+        np.minimum.at(labels, b, m)
+        while True:  # compress chains to their current minimum
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if np.array_equal(labels, prev):
+            return labels
+
+
 def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
     """Group text lines into regions (paragraph blocks).
 
@@ -494,17 +522,10 @@ def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
     is a region boundary by construction, cf. D4).
     """
     n = len(x0)
-    parent = np.arange(n)
     if n == 0:
-        return parent
+        return np.arange(n)
     if band is None:
         band = np.zeros(n, dtype=np.int64)
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
 
     h = np.maximum(y1 - y0, 1.0)
     w = np.maximum(x1 - x0, 1.0)
@@ -534,11 +555,9 @@ def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
         # paragraph's line (drop capitals, C13/C14): merging one into a
         # paragraph drags the region bbox and corrupts D6 row ordering
         okp &= np.maximum(h[i], h[j]) <= _REGION_H_RATIO * np.minimum(h[i], h[j])
-        for a, b in zip(i[okp], j[okp]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
-    labels = np.array([find(i) for i in range(n)])
+        labels = _cc_labels(n, i[okp], j[okp])
+    else:
+        labels = np.arange(n)
 
     # Containment post-pass (the reference's actual C16 rule is
     # point-in-REGION-polygon, eynollah.py:946-980 — a line lying inside
