@@ -720,10 +720,10 @@ def main():
     # 1%-heavy-tail nested corpus, both levels, same JVM per level
     skew = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
-        skew_n = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_DOCS", "20000"))
+        skew_n = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_DOCS", "10000"))
         skew_corpus = ensure_skew_corpus(skew_n)
         for c in (lo, cpus):
-            r = run_worker(c, None, None, "", zip_path, trials=2,
+            r = run_worker(c, None, None, "", zip_path, trials=3,
                            skew_nested=skew_corpus)
             skew[c] = {
                 "n_docs": r["skew_n_docs"],

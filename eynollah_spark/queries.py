@@ -545,7 +545,7 @@ cand_docs AS (
     SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs) u
 ),
 ds_cand AS (
-  SELECT d.doc_id, d.sh FROM {ds} d JOIN cand_docs c ON c.doc_id = d.doc_id
+  SELECT DISTINCT d.doc_id, d.sh FROM {ds} d JOIN cand_docs c ON c.doc_id = d.doc_id
 ),
 sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM ds_cand GROUP BY doc_id
@@ -584,13 +584,19 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ngram_jaccard_spark._cached = None
     from pyspark import StorageLevel
 
+    # NO DISTINCT here (r5): MIN is idempotent, so duplicate shingles
+    # cannot change a MinHash signature — deduping the FULL shingle
+    # relation cost a whole extra shuffle before the cache; the only
+    # consumers that need set semantics (sizes + exact intersection)
+    # get a DISTINCT on the candidate-restricted ds_cand relation,
+    # which is broadcast-sized however large the corpus is.
     ds = spark.sql(
         f"WITH {_planted_docs_cte()},\n{_shingles_cte('spark', 'docs_nd')}\n"
-        "SELECT DISTINCT doc_id, sh FROM shingles")
-    # MEMORY_AND_DISK deliberately (VERDICT r4): at 100 TB the distinct
-    # shingle relation exceeds executor memory — MEMORY_ONLY would
-    # silently evict and re-tokenize; spilling partitions to local disk
-    # keeps the materialize-once contract at any scale
+        "SELECT doc_id, sh FROM shingles")
+    # MEMORY_AND_DISK deliberately (VERDICT r4): at 100 TB the shingle
+    # relation exceeds executor memory — MEMORY_ONLY would silently
+    # evict and re-tokenize; spilling partitions to local disk keeps
+    # the materialize-once contract at any scale
     ds.persist(StorageLevel.MEMORY_AND_DISK).createOrReplaceTempView("_jacc_ds")
     _ngram_jaccard_spark._cached = ds
     return spark.sql(
