@@ -482,6 +482,24 @@ def spanning_lines(tx0, tx1, gutters, width):
 
 # ------------------------------------------------- region clustering (C16) ---
 
+def _group_by_label(labels):
+    """Grouping scaffold shared by every per-region aggregation: one
+    stable argsort of the label array; returns (uniq, order, starts)
+    where group k's members are order[starts[k]:starts[k+1]], in
+    ORIGINAL index order (stable sort), and uniq is ascending — exactly
+    what np.unique + per-group boolean masks produced, minus the
+    O(regions x lines) rescans (profiled at ~10% of the kernel)."""
+    order = np.argsort(labels, kind="stable")
+    sl = labels[order]
+    starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+    return sl[starts], order, np.append(starts, len(sl))
+
+
+def _group_minmax(vals, order, starts, mode):
+    op = np.minimum if mode == "min" else np.maximum
+    return op.reduceat(vals[order], starts[:-1])
+
+
 def _cc_labels(n, a, b):
     """Connected components over edge arrays (a, b) via vectorized
     min-label propagation with pointer-jump compression — numpy
@@ -568,21 +586,18 @@ def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
     # depend on a 1-px gap-rule boundary (fixture-margin finding, r3):
     # no ordering of the two region UNITS preserves the flow, while
     # in-region D1 row ordering restores it exactly.
-    uniq = np.unique(labels)
+    uniq, gorder, gstarts = _group_by_label(labels)
     if len(uniq) > 1:
         # one vectorized pass over the ORIGINAL region bboxes; a line
         # contained in several picks the container with the smallest
         # (area, x0, y0, x1, y1) — a purely geometric key, so the result
         # is invariant to input row order
         R = len(uniq)
-        rx0 = np.empty(R); rx1 = np.empty(R)
-        ry0 = np.empty(R); ry1 = np.empty(R)
-        rb = np.empty(R, dtype=band.dtype)
-        for k, u in enumerate(uniq):
-            m = labels == u
-            rx0[k], rx1[k] = x0[m].min(), x1[m].max()
-            ry0[k], ry1[k] = y0[m].min(), y1[m].max()
-            rb[k] = band[np.flatnonzero(m)[0]]
+        rx0 = _group_minmax(x0, gorder, gstarts, "min")
+        rx1 = _group_minmax(x1, gorder, gstarts, "max")
+        ry0 = _group_minmax(y0, gorder, gstarts, "min")
+        ry1 = _group_minmax(y1, gorder, gstarts, "max")
+        rb = band[gorder[gstarts[:-1]]]
         area = (rx1 - rx0) * (ry1 - ry0)
         rank = np.empty(R, dtype=np.int64)
         rank[np.lexsort((ry1, rx1, ry0, rx0, area))] = np.arange(R)
@@ -944,12 +959,12 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
 
     # regions from lines (C16 inverse), band/cell-aware
     labels = cluster_lines_into_regions(bx0, bx1, by0, by1, band=cell_id, rtl=rtl)
-    uniq = np.unique(labels)
-    rx0 = np.array([bx0[labels == u].min() for u in uniq])
-    rx1 = np.array([bx1[labels == u].max() for u in uniq])
-    ry0 = np.array([by0[labels == u].min() for u in uniq])
-    ry1 = np.array([by1[labels == u].max() for u in uniq])
-    roff = np.array([boff[labels == u].min() for u in uniq])
+    uniq, gorder, gstarts = _group_by_label(labels)
+    rx0 = _group_minmax(bx0, gorder, gstarts, "min")
+    rx1 = _group_minmax(bx1, gorder, gstarts, "max")
+    ry0 = _group_minmax(by0, gorder, gstarts, "min")
+    ry1 = _group_minmax(by1, gorder, gstarts, "max")
+    roff = _group_minmax(boff, gorder, gstarts, "min")
     rcx, rcy = (rx0 + rx1) / 2.0, (ry0 + ry1) / 2.0
 
     # D5: assign each region to a box. Strict containment takes the FIRST
@@ -957,22 +972,24 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
     # first containing box, eynollah.py:1166-1179 — matters when get_span
     # widened boxes overlap full-height column boxes); fallback is the
     # nearest center among center-containing boxes (:1181-1187).
+    # (vectorized R x B: argmax picks the FIRST containing box; the
+    # center-containment fallback masks non-candidates to +inf so argmin
+    # keeps the original among-candidates / lowest-index tie-break)
+    strict = ((barr[None, :, 0] <= rx0[:, None]) & (barr[None, :, 1] >= rx1[:, None])
+              & (barr[None, :, 2] <= ry0[:, None]) & (barr[None, :, 3] >= ry1[:, None]))
+    has_strict = strict.any(axis=1)
     box_of = np.zeros(len(uniq), dtype=np.int64)
-    for r in range(len(uniq)):
-        contain = np.flatnonzero(
-            (barr[:, 0] <= rx0[r]) & (barr[:, 1] >= rx1[r])
-            & (barr[:, 2] <= ry0[r]) & (barr[:, 3] >= ry1[r])
-        )
-        if len(contain):
-            box_of[r] = int(contain[0])
-            continue
-        contain = np.flatnonzero(
-            (barr[:, 0] <= rcx[r]) & (barr[:, 1] > rcx[r])
-            & (barr[:, 2] <= rcy[r]) & (barr[:, 3] > rcy[r])
-        )
-        cand = contain if len(contain) else np.arange(len(barr))
-        d = (bcenx[cand] - rcx[r]) ** 2 + (bceny[cand] - rcy[r]) ** 2
-        box_of[r] = cand[int(np.argmin(d))]
+    if has_strict.any():
+        box_of[has_strict] = np.argmax(strict[has_strict], axis=1)
+    rest = np.flatnonzero(~has_strict)
+    if len(rest):
+        centc = ((barr[None, :, 0] <= rcx[rest, None]) & (barr[None, :, 1] > rcx[rest, None])
+                 & (barr[None, :, 2] <= rcy[rest, None]) & (barr[None, :, 3] > rcy[rest, None]))
+        d = ((bcenx[None, :] - rcx[rest, None]) ** 2
+             + (bceny[None, :] - rcy[rest, None]) ** 2)
+        mask = ~centc & centc.any(axis=1)[:, None]
+        d[mask] = np.inf
+        box_of[rest] = np.argmin(d, axis=1)
 
     # D6 within box: row-cluster region centers, sort rows top-down, cx in row
     order_regions = []  # list of region indices in final order
@@ -986,10 +1003,12 @@ def _order_body_text(body_ix, x0, x1, y0, y1, cx, cy, W, H,
         xkey = -rcx[rs] if rtl else rcx[rs]
         order_regions.extend(rs[np.lexsort((roff[rs], rcy[rs], xkey, rows))].tolist())
 
-    # D1 within each region, concatenate
+    # D1 within each region, concatenate (members come from the grouping
+    # scaffold — stable sort keeps them in original index order, exactly
+    # what the per-region flatnonzero rescan produced)
     out = []
     for r in order_regions:
-        members = np.flatnonzero(labels == uniq[r])
+        members = gorder[gstarts[r]:gstarts[r + 1]]
         sub = order_lines_in_region(bcx[members], bcy[members], rtl, boff[members])
         out.extend(body_ix[members[sub]].tolist())
     return np.array(out, dtype=np.int64)
