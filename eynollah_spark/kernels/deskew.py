@@ -64,12 +64,14 @@ def estimate_skew(cx, cy, w, h, width, height, max_angle_deg: float = 6.0) -> fl
         order = np.lexsort((np.abs(angles), -sc))
         return angles[order[0]], sc[order[0]]
 
-    zero = np.array([0.0])
-    s0 = _score_angles(cx, cy, w, h, zero, bin_w, ox, oy)[0]
     coarse = np.deg2rad(np.arange(-max_angle_deg, max_angle_deg + 1e-9, 0.5))
     best, sb = _best(coarse)
-    # early exit: straight page (the common case) — no fine pass needed
-    if abs(best) < 1e-9 or sb <= 1.05 * s0:
+    # early exit: straight page (the common case) — no fine pass, and the
+    # zero-angle reference score is never consulted, so compute it lazily
+    if abs(best) < 1e-9:
+        return 0.0
+    s0 = _score_angles(cx, cy, w, h, np.array([0.0]), bin_w, ox, oy)[0]
+    if sb <= 1.05 * s0:
         return 0.0
     fine = best + np.deg2rad(np.arange(-0.5, 0.5 + 1e-9, 0.1))
     bf, sf = _best(fine)

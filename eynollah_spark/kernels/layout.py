@@ -347,9 +347,9 @@ def find_gutters(x0, x1, y0, y1, width, vsep_cx=(), xlo=None, xhi=None):
     # balance pruning (C5 :390-405): drop gutters bounding near-empty columns
     area = np.maximum(x1 - x0, 1.0) * h
     total = area.sum()
+    cx = (x0 + x1) / 2.0
     while gutters:
         edges = [lo] + [g for g, _ in gutters] + [hi]
-        cx = (x0 + x1) / 2.0
         masses = np.array(
             [area[(cx >= edges[i]) & (cx < edges[i + 1])].sum() for i in range(len(edges) - 1)]
         )
@@ -500,7 +500,7 @@ def _group_minmax(vals, order, starts, mode):
     return op.reduceat(vals[order], starts[:-1])
 
 
-def _cc_labels(n, a, b):
+def _cc_labels(n, a, b, init=None):
     """Connected components over edge arrays (a, b) via vectorized
     min-label propagation with pointer-jump compression — numpy
     throughout. Replaces the r1-r4 pure-python union-find loop, which
@@ -510,22 +510,34 @@ def _cc_labels(n, a, b):
     kernel goes near-linear in the pair count). Labels are the MINIMUM
     member index of each component — a canonical representative, so
     downstream np.unique enumeration is a pure function of the span
-    set (the order-determinism property mb_reading_order relies on)."""
-    labels = np.arange(n, dtype=np.int64)
-    if len(a) == 0:
-        return labels
+    set (the order-determinism property mb_reading_order relies on).
+
+    `init`: start from an existing label array instead of arange —
+    incremental merging for the chunked pair sweep below. The passed
+    array is consumed (mutated in place); use the return value. Each
+    round drops edges whose endpoints already agree, so converged
+    components stop costing anything."""
+    labels = np.arange(n, dtype=np.int64) if init is None else init
     while True:
-        m = np.minimum(labels[a], labels[b])
-        prev = labels.copy()
-        np.minimum.at(labels, a, m)
-        np.minimum.at(labels, b, m)
+        la, lb = labels[a], labels[b]
+        live = la != lb
+        if not live.any():
+            return labels
+        a, b, la, lb = a[live], b[live], la[live], lb[live]
+        m = np.minimum(la, lb)
+        # merge at the ROOTS (labels are compressed here, so la/lb are
+        # roots): members of both components follow via compression.
+        # Updating only the endpoints would detach a pulled-down
+        # representative from its members once satisfied edges are
+        # dropped — the edge-filtering above is safe ONLY with
+        # root-merging (a satisfied edge then stays satisfied forever).
+        np.minimum.at(labels, la, m)
+        np.minimum.at(labels, lb, m)
         while True:  # compress chains to their current minimum
             nxt = labels[labels]
-            if np.array_equal(nxt, labels):
-                break
+            if bool((nxt == labels).all()):  # same-dtype arrays: skip
+                break                        # np.array_equal dispatch
             labels = nxt
-        if np.array_equal(labels, prev):
-            return labels
 
 
 def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
@@ -548,34 +560,48 @@ def cluster_lines_into_regions(x0, x1, y0, y1, band=None, rtl=False):
     h = np.maximum(y1 - y0, 1.0)
     w = np.maximum(x1 - x0, 1.0)
     anchor = x1 if rtl else x0
-    max_gap = _REGION_GAP_FACTOR * h.max() + 4
 
     # vectorized candidate-pair enumeration: sort by y0; for each line i,
-    # candidates j follow it with y0[j] <= y1[i] + max_gap (bounded
-    # lookahead, near-linear for real layouts)
+    # candidates j follow it with y0[j] <= y1[i] + gap_bound(i). The
+    # bound uses h[i], not h.max(): the gap predicate needs
+    # dy <= factor*min(h_i,h_j)+4 <= factor*h_i+4, so the per-line
+    # window is an exact superset of qualifying pairs that stays tight
+    # when one tall media span would inflate a global window.
     order = np.argsort(y0, kind="stable")
     sy0, sy1 = y0[order], y1[order]
-    hi = np.searchsorted(sy0, sy1 + max_gap, side="right")
+    sh = h[order]
+    hi = np.searchsorted(sy0, sy1 + _REGION_GAP_FACTOR * sh + 4, side="right")
     cnt = np.maximum(hi - np.arange(1, n + 1), 0)
     total = int(cnt.sum())
+    labels = np.arange(n, dtype=np.int64)
     if total:
-        ii = np.repeat(np.arange(n), cnt)
-        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-        jj = np.arange(total) - np.repeat(offs, cnt) + ii + 1
-        i, j = order[ii], order[jj]
-        dy = np.maximum(y0[j] - y1[i], 0.0)
-        okp = (band[i] == band[j])
-        okp &= dy <= _REGION_GAP_FACTOR * np.minimum(h[i], h[j]) + 4
-        ov = np.minimum(x1[i], x1[j]) - np.maximum(x0[i], x0[j])
-        okp &= ov / np.minimum(w[i], w[j]) >= _REGION_XOVERLAP
-        okp &= np.abs(anchor[i] - anchor[j]) <= 1.2 * np.maximum(h[i], h[j])
-        # a span 3x+ taller than its neighbour is never the same
-        # paragraph's line (drop capitals, C13/C14): merging one into a
-        # paragraph drags the region bbox and corrupts D6 row ordering
-        okp &= np.maximum(h[i], h[j]) <= _REGION_H_RATIO * np.minimum(h[i], h[j])
-        labels = _cc_labels(n, i[okp], j[okp])
-    else:
-        labels = np.arange(n)
+        # chunked sweep with incremental union-find contraction: a dense
+        # same-page blob (SURVEY risk register: 10^4 spans -> ~3e6
+        # candidate pairs) must not materialize every predicate
+        # temporary at once (~400 MB/doc; x32 concurrent workers was the
+        # real skew-bench pathology, r5). Each chunk's surviving edges
+        # are contracted through the current labels, so once a blob has
+        # merged, later chunks filter to nothing. Chunk boundaries are
+        # fixed -> deterministic; min-label fixpoint is independent of
+        # edge order -> identical labels to the single-pass sweep.
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        chunk = 1 << 19
+        for s in range(0, total, chunk):
+            pos = np.arange(s, min(s + chunk, total))
+            ii = np.searchsorted(offs, pos, side="right") - 1
+            jj = pos - offs[ii] + ii + 1
+            i, j = order[ii], order[jj]
+            dy = np.maximum(y0[j] - y1[i], 0.0)
+            okp = (band[i] == band[j])
+            okp &= dy <= _REGION_GAP_FACTOR * np.minimum(h[i], h[j]) + 4
+            ov = np.minimum(x1[i], x1[j]) - np.maximum(x0[i], x0[j])
+            okp &= ov / np.minimum(w[i], w[j]) >= _REGION_XOVERLAP
+            okp &= np.abs(anchor[i] - anchor[j]) <= 1.2 * np.maximum(h[i], h[j])
+            # a span 3x+ taller than its neighbour is never the same
+            # paragraph's line (drop capitals, C13/C14): merging one into
+            # a paragraph drags the region bbox and corrupts D6 row order
+            okp &= np.maximum(h[i], h[j]) <= _REGION_H_RATIO * np.minimum(h[i], h[j])
+            labels = _cc_labels(n, i[okp], j[okp], init=labels)
 
     # Containment post-pass (the reference's actual C16 rule is
     # point-in-REGION-polygon, eynollah.py:946-980 — a line lying inside

@@ -308,3 +308,65 @@ def test_d4_fixture_actually_diverges(monkeypatch):
     order = sorted(first, key=first.get)
     assert order != ["c1", "c2a", "c3a", "c2b", "sp", "c3b"], \
         "fixture no longer exercises the get_span walk"
+
+
+def test_cc_labels_matches_bruteforce_and_incremental():
+    """_cc_labels: min-index component labels, one-shot == chunked
+    incremental (init=) == brute-force propagation. Guards the DSU
+    root-merge invariant the chunked pair sweep relies on (an
+    endpoint-only merge silently detaches a pulled-down representative
+    from its members once satisfied edges are dropped — r5 bug)."""
+    from eynollah_spark.kernels.layout import _cc_labels
+
+    rng = np.random.default_rng(7)
+    for _ in range(120):
+        n = int(rng.integers(1, 50))
+        ne = int(rng.integers(0, 100))
+        a = rng.integers(0, n, ne)
+        b = rng.integers(0, n, ne)
+        lab = _cc_labels(n, a, b)
+        ref = np.arange(n)
+        for _ in range(n):
+            for x, y in zip(a, b):
+                m = min(ref[x], ref[y])
+                ref[ref == ref[x]] = m
+                ref[ref == ref[y]] = m
+        assert (lab == ref).all()
+        if ne > 3:
+            half = ne // 2
+            inc = _cc_labels(n, a[:half], b[:half])
+            inc = _cc_labels(n, a[half:], b[half:], init=inc)
+            assert (inc == lab).all()
+
+
+def test_dense_blob_page_bounded():
+    """A 10^4-span page whose replicated lines wrap within ONE page
+    height (the skew-stress corpus shape) produces ~3e6 candidate
+    pairs. The chunked pair sweep must keep this page near-linear —
+    the unchunked sweep materialized ~400 MB of predicate temporaries
+    and took 8-31 s/doc, which (x32 concurrent workers) was the real
+    cause of the r5 skew-bench pathology, not salting itself."""
+    import time
+
+    from eynollah_spark.corpus import gen_doc
+    from eynollah_spark.kernels.layout import layout_permutation
+
+    arrs, meta = gen_doc(3)
+    n0 = len(arrs["kind"])
+    rep = int(np.ceil(10000 / n0))
+    tile = lambda a: np.concatenate([a.copy() for _ in range(rep)])
+    reps = np.repeat(np.arange(1, rep + 1), n0)
+    y0 = (tile(arrs["y0"]).astype(float) + reps * 37) % (meta["height"] - 40)
+    d = DocSpans(
+        kind=tile(arrs["kind"]), text=tile(arrs["text"]),
+        media_ref=tile(arrs["media_ref"]),
+        offset=np.arange(n0 * rep, dtype=np.int64),
+        x0=tile(arrs["x0"]).astype(float), x1=tile(arrs["x1"]).astype(float),
+        y0=y0, y1=y0 + 24, width=meta["width"], height=meta["height"],
+        rtl=meta["rtl"])
+    t0 = time.perf_counter()
+    perm, _ = layout_permutation(d)
+    wall = time.perf_counter() - t0
+    assert len(perm) == d.n
+    assert sorted(perm) == list(range(d.n))  # total permutation
+    assert wall < 12.0, f"dense-blob page took {wall:.1f}s"
