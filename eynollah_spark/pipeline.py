@@ -433,6 +433,91 @@ def make_partition_arrow_kernel(include_payload: bool = True, fail_fast: bool = 
     return kernel
 
 
+def make_expected_check_kernel(fail_fast: bool = True,
+                               num_col_lower: int = 0, num_col_upper: int = 0):
+    """Self-check kernel for the extract_reading_order oracle query:
+    per document, count the spans whose extracted (ord, kind) disagrees
+    with the generator's by-construction (expected_rank, expected_kind).
+
+    This is the in-kernel equivalent of the r5 full-outer join on
+    (doc_id, offset) — provably the same count: the valid-span sets on
+    both sides coincide (kind IS NULL <=> the offset = -1 empty-doc
+    marker rows, which the kernel skips and the expected side filters),
+    offsets are unique per doc, and the kernel's output is always a
+    permutation of the valid spans, so neither side can have a row the
+    other lacks; the join's per-row `bad` predicate reduces to the
+    per-span (ord != expected_rank) | (kind != expected_kind) test.
+    Computing it where the document already lives removes two of the
+    three corpus generations and both join shuffles from the r5 plan
+    (guide §2.4 / §8: decide with the data you already hold).
+
+    Expects the columns _SCAN_COLS_NARROW + expected_kind/expected_rank;
+    like make_partition_arrow_kernel it sorts the resident partition by
+    (doc_id, offset) itself, so the input only needs doc-complete
+    partitions, not sorted rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        tabs = list(batches)
+        if not tabs:
+            return
+        t = pa.Table.from_batches(tabs).combine_chunks()
+        del tabs
+        if t.num_rows == 0:
+            return
+        t = pc.take(t, pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]))
+        col = {name: t.column(i) for i, name in enumerate(t.schema.names)}
+
+        def _np(c, fill, dtype):
+            return pc.fill_null(c, fill).to_numpy(zero_copy_only=False).astype(dtype)
+
+        ids = col["doc_id"].to_numpy(zero_copy_only=False)
+        kind = col["kind"].to_numpy(zero_copy_only=False)
+        ekind = col["expected_kind"].to_numpy(zero_copy_only=False)
+        erank = _np(col["expected_rank"], -1, np.int64)
+        valid = pc.is_valid(col["kind"]).to_numpy(zero_copy_only=False)
+        offs = _np(col["offset"], -1, np.int64)
+        x0 = _np(col["x0"], 0, np.float64); x1 = _np(col["x1"], 0, np.float64)
+        y0 = _np(col["y0"], 0, np.float64); y1 = _np(col["y1"], 0, np.float64)
+        W = _np(col["width"], 1, np.int64); H = _np(col["height"], 1, np.int64)
+        RT = _np(col["rtl"], False, np.bool_)
+        change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(ids)]))
+        out_ids, out_bad = [], []
+        for s, e in zip(starts, ends):
+            v = valid[s:e]
+            if not v.any():
+                continue  # empty document: no rows on either join side
+            idx = np.arange(s, e) if v.all() else s + np.flatnonzero(v)
+            d = DocSpans(
+                kind=kind[idx], text=None, media_ref=None,
+                offset=offs[idx], x0=x0[idx], x1=x1[idx], y0=y0[idx], y1=y1[idx],
+                width=int(W[s]), height=int(H[s]), rtl=bool(RT[s]),
+                num_col_lower=num_col_lower, num_col_upper=num_col_upper,
+            )
+            perm, marg = _safe_permutation(d, fail_fast)
+            m = len(perm)
+            ord_in = np.empty(m, dtype=np.int64)
+            ord_in[perm] = np.arange(m)
+            marg_in = np.empty(m, dtype=bool)
+            marg_in[perm] = marg
+            gkind = np.where(marg_in, "marginalia", kind[idx])
+            bad = int(np.count_nonzero(
+                (ord_in != erank[idx]) | (gkind != ekind[idx])))
+            out_ids.append(ids[s])
+            out_bad.append(bad)
+        if out_ids:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.string()),
+                 pa.array(out_bad, type=pa.int64())],
+                names=["doc_id", "n_bad"])
+
+    return kernel
+
+
 def extract(df: DataFrame, partitions: int | None = None, nested: bool = True,
             heavy_threshold: int | None = None, fail_fast: bool = True,
             num_col_lower: int = 0, num_col_upper: int = 0,

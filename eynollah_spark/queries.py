@@ -1275,30 +1275,35 @@ def _extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full XY-cut extraction, self-checked against the generator's
     by-construction reading order (oracle-by-construction, VERDICT r1
     item 9): returns per-bucket mismatch counts vs expected_rank /
-    expected_kind over a FULL OUTER join on (doc_id, offset) — dropped
-    rows, extra rows, wrong order and wrong kind all count. The DuckDB
-    oracle is the all-zeros table: the value-hash comparison therefore
-    certifies span-exact extraction for every document."""
+    expected_kind — dropped rows, extra rows, wrong order and wrong kind
+    all count. The DuckDB oracle is the all-zeros table: the value-hash
+    comparison therefore certifies span-exact extraction for every
+    document.
+
+    r6 plan shape: the r5 form re-ran the distributed corpus generator
+    THREE times (kernel input, payload-join side, expected side) and
+    paid a payload shuffled-hash join plus a full-outer sort-merge join
+    on (doc_id, offset) just to compare rows that are born colocated —
+    corpus_flat_spark generates each document wholly inside one task.
+    The comparison now runs inside the extraction kernel itself
+    (pipeline.make_expected_check_kernel, same per-row bad count — see
+    its docstring for the equivalence argument), so the plan is ONE
+    generation pass -> kernel -> tiny bucket aggregate, zero joins and
+    zero data shuffles (guide §2.4/§8)."""
     from pyspark.sql import functions as F
 
-    from eynollah_spark.corpus import corpus_flat_spark, expected_spark
-    from eynollah_spark.pipeline import extract_flat_input
+    from eynollah_spark.corpus import corpus_flat_spark
+    from eynollah_spark.pipeline import make_expected_check_kernel
 
     n = max(200, int(100_000 * sf_of(sf_dir)))
     flat = corpus_flat_spark(spark, n)
-    out = extract_flat_input(flat.drop("expected_kind", "expected_rank"))
-    exp = expected_spark(flat)
-    g = out.select("doc_id", "offset", F.col("ord").alias("g_ord"),
-                   F.col("kind").alias("g_kind"))
-    e = exp.select("doc_id", "offset", F.col("ord").alias("e_ord"),
-                   F.col("kind").alias("e_kind"))
-    j = g.join(e, ["doc_id", "offset"], "full_outer")
-    bad = (F.col("g_ord").isNull() | F.col("e_ord").isNull()
-           | (F.col("g_ord") != F.col("e_ord"))
-           | (F.col("g_kind") != F.col("e_kind")))
+    per_doc = flat.select(
+        "doc_id", "width", "height", "rtl", "kind", "offset",
+        "x0", "x1", "y0", "y1", "expected_kind", "expected_rank",
+    ).mapInArrow(make_expected_check_kernel(), schema="doc_id string, n_bad long")
     bucket = (F.substring("doc_id", 4, 8).cast("int") % 10)
-    return (j.groupBy(bucket.alias("bucket"))
-            .agg(F.sum(bad.cast("int")).cast("bigint").alias("n_bad")))
+    return (per_doc.groupBy(bucket.alias("bucket"))
+            .agg(F.sum("n_bad").cast("bigint").alias("n_bad")))
 
 _fn("extract_reading_order", (), _extract_corpus, duck_sql="""
 SELECT CAST(b AS INT) AS bucket, CAST(0 AS BIGINT) AS n_bad

@@ -194,3 +194,62 @@ def test_task_side_scan_empty_file_list(spark):
     out = extract_from_parquet_files(spark, [], partitions=4)
     assert out.count() == 0
     assert "doc_id" in out.columns
+
+
+_CHECK_COLS = ["doc_id", "width", "height", "rtl", "kind", "offset",
+               "x0", "x1", "y0", "y1", "expected_kind", "expected_rank"]
+
+
+def test_expected_check_kernel_equals_join_check(spark, corpus):
+    """r6: extract_reading_order's self-check moved inside the kernel
+    (make_expected_check_kernel). The per-doc mismatch count must equal
+    the r5 full-outer-join formulation exactly — zero on the clean
+    corpus, and the same nonzero counts under injected corruption."""
+    from eynollah_spark.pipeline import make_expected_check_kernel
+
+    def kernel_bad(flat):
+        return (flat.select(*_CHECK_COLS)
+                .mapInArrow(make_expected_check_kernel(),
+                            schema="doc_id string, n_bad long"))
+
+    def join_bad(flat):
+        out = extract_flat_input(flat.drop("expected_kind", "expected_rank"),
+                                 partitions=8)
+        exp = expected_spark(flat)
+        g = out.select("doc_id", "offset", F.col("ord").alias("g_ord"),
+                       F.col("kind").alias("g_kind"))
+        e = exp.select("doc_id", "offset", F.col("ord").alias("e_ord"),
+                       F.col("kind").alias("e_kind"))
+        j = g.join(e, ["doc_id", "offset"], "full_outer")
+        bad = (F.col("g_ord").isNull() | F.col("e_ord").isNull()
+               | (F.col("g_ord") != F.col("e_ord"))
+               | (F.col("g_kind") != F.col("e_kind")))
+        return j.groupBy("doc_id").agg(F.sum(bad.cast("int")).alias("n_bad"))
+
+    def totals(df):
+        rows = df.collect()
+        return sum(r["n_bad"] for r in rows), {r["doc_id"]: r["n_bad"]
+                                               for r in rows if r["n_bad"]}
+
+    # clean corpus: both formulations report zero everywhere
+    k_tot, k_map = totals(kernel_bad(corpus))
+    j_tot, j_map = totals(join_bad(corpus))
+    assert k_tot == 0 and j_tot == 0
+
+    # corrupt the expected ranks (swap 0 <-> 1) and kinds of rank-0 spans:
+    # the kernel check must flag exactly the same per-doc counts as the
+    # join check (sensitivity: a vacuous check would stay zero)
+    corrupted = corpus.withColumn(
+        "expected_rank",
+        F.when(F.col("expected_rank") == 0, 1)
+         .when(F.col("expected_rank") == 1, 0)
+         .otherwise(F.col("expected_rank"))
+    ).withColumn(
+        "expected_kind",
+        F.when(F.col("expected_rank") == 1, F.lit("__corrupt__"))
+         .otherwise(F.col("expected_kind")))
+    k_tot, k_map = totals(kernel_bad(corrupted))
+    j_tot, j_map = totals(join_bad(corrupted))
+    assert k_tot > 0
+    assert k_tot == j_tot
+    assert k_map == j_map
