@@ -958,15 +958,21 @@ def _sim_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     load_views(spark, sf_dir, "embeddings")
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    # precompute each vector's norm ONCE (r6): the r5 form re-evaluated
+    # the interpreted higher-order SQRT(SUM(x^2)) per (query, vector)
+    # pair — 5x per corpus vector; dot/(nv*nq) is the identical
+    # expression tree over identical values
     emb = spark.table("embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nv", nrm(F.col("v")))
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"))
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     j = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    j = j.withColumn("sim", dot / (nrm(F.col("v")) * nrm(F.col("qv"))))
+    j = j.withColumn("sim", dot / (F.col("nv") * F.col("nq")))
     from pyspark.sql import Window as W
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
@@ -1137,7 +1143,71 @@ WHERE rk <= 5
 """
 
 
-_both("sim_ann_topk", ("embeddings",), _ann_topk_sql)
+def _ann_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of sim_ann_topk (same candidate set / sims as
+    _ann_topk_sql('spark'), which stays the DuckDB oracle): the emb
+    projection and the 6-table LSH bucket projection are materialized
+    once and referenced from CTE-free statements (Spark 4.1 misses the
+    cache for views inside a WITH clause — see _ngram_jaccard_spark);
+    per-vector norms are precomputed so the exact cosine on probed
+    candidates is dot/(nrm_q*nrm_v), the identical expression tree
+    evaluated once per vector instead of once per pair side."""
+    from pyspark import StorageLevel
+
+    load_views(spark, sf_dir, "embeddings")
+    state = getattr(_ann_topk_spark, "_state", None)
+    if state is not None:
+        for h in state["tmp"]:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+        if state["spark"] is spark and state["sf"] == sf_dir:
+            for h in state["tmp"]:
+                h.persist(StorageLevel.MEMORY_AND_DISK)
+            return state["final"]
+    emb = spark.sql("""
+SELECT vec_id, v,
+       SQRT(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+FROM (SELECT vec_id, transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x) AS v
+      FROM embeddings) e""")
+    emb.persist(StorageLevel.MEMORY_AND_DISK).createOrReplaceTempView("_ann_emb")
+    bucket_exprs = ", ".join(_rh_bucket_expr("spark", t) for t in range(_LSH_TABLES))
+    tabs = spark.sql(
+        f"SELECT vec_id, posexplode(array({bucket_exprs})) AS (t, bucket) "
+        "FROM _ann_emb")
+    tabs.persist(StorageLevel.MEMORY_AND_DISK).createOrReplaceTempView("_ann_tabs")
+    masks = ", ".join(str(po) for po in [0] + [1 << j for j in range(_LSH_BITS)])
+    final = spark.sql(f"""
+SELECT query_id, CAST(rk AS INT) AS rk, vec_id, ROUND(sim, 3) AS sim
+FROM (SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rk
+      FROM (
+        SELECT c.query_id, c.vec_id,
+               aggregate(zip_with(eq.v, ev.v, (x, y) -> x * y),
+                         CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+                 / (eq.nrm * ev.nrm) AS sim
+        FROM (
+          SELECT DISTINCT q.vec_id AS query_id, tb.vec_id
+          FROM (SELECT s.vec_id, s.t, (s.bucket ^ p.po) AS bucket
+                FROM _ann_tabs s LATERAL VIEW explode(array({masks})) p AS po
+                WHERE s.vec_id < 5) q
+          JOIN (SELECT t, bucket, COUNT(*) AS n FROM _ann_tabs
+                GROUP BY t, bucket) c
+            ON q.t = c.t AND q.bucket = c.bucket AND c.n <= {_ANN_PROBE_CAP}
+          JOIN _ann_tabs tb
+            ON q.t = tb.t AND q.bucket = tb.bucket AND tb.vec_id != q.vec_id) c
+        JOIN _ann_emb eq ON eq.vec_id = c.query_id
+        JOIN _ann_emb ev ON ev.vec_id = c.vec_id) scored)
+WHERE rk <= 5""")
+    _ann_topk_spark._state = {"spark": spark, "sf": sf_dir,
+                              "tmp": [emb, tabs], "final": final}
+    return final
+
+
+_fn("sim_ann_topk", ("embeddings",), _ann_topk_spark,
+    duck_sql=_ann_topk_sql("duck"))
 # approximate-nearest-neighbor SEARCH (the 100 TB path next to the
 # brute-force sim_topk_cosine baseline): each query multi-probes its own
 # bucket + all distance-1 buckets across the 6 random-hyperplane LSH
@@ -1146,7 +1216,84 @@ _both("sim_ann_topk", ("embeddings",), _ann_topk_sql)
 # deterministic candidate set, so the oracle comparison is exact.
 
 
-_both("dedup_embedding_neardup", ("embeddings",), _emb_nd_sql)
+def _emb_nd_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of dedup_embedding_neardup, restructured for plan
+    shape (same candidate set and sims as _emb_nd_sql('spark'), which
+    remains the DuckDB oracle's form):
+
+    - the emb union (base + planted perturbed copies) is materialized
+      ONCE with its L2 norm precomputed, instead of re-executing the
+      scan+union subtree for every downstream reference (the r5 plan
+      re-ran it 5x) and re-deriving SQRT(SUM(x^2)) per candidate PAIR;
+      sim = dot/(nrm_a*nrm_b) is arithmetically the identical
+      expression tree, evaluated once per vector instead of once per
+      pair side.
+    - capped buckets via size(collect_list()) BETWEEN 2 AND 128 — one
+      aggregate replacing the r5 counts-aggregate + join + self-join
+      (identical cap semantics, pair explosion is order-insensitive).
+    - every statement is CTE-free: on Spark 4.1 a cached view referenced
+      inside a WITH clause misses the InMemoryRelation cache entirely
+      (see _ngram_jaccard_spark).
+    - exact cosine is computed once in a subquery; the >= 0.9 filter
+      applies to the unrounded value exactly as the SQL form does."""
+    from pyspark import StorageLevel
+
+    load_views(spark, sf_dir, "embeddings")
+    state = getattr(_emb_nd_spark, "_state", None)
+    if state is not None:
+        for h in state["tmp"]:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+        if state["spark"] is spark and state["sf"] == sf_dir:
+            # reuse the analyzed plan objects only: the re-persisted
+            # handles recompute from the parquet input on the next action
+            for h in state["tmp"]:
+                h.persist(StorageLevel.MEMORY_AND_DISK)
+            return state["final"]
+    emb = spark.sql("""
+SELECT vec_id, v,
+       SQRT(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+FROM (
+  SELECT vec_id, transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x + 0.002) AS v
+  FROM embeddings WHERE vec_id % 10 = 0) u""")
+    emb.persist(StorageLevel.MEMORY_AND_DISK).createOrReplaceTempView("_embnd")
+    bucket_exprs = ", ".join(_rh_bucket_expr("spark", t) for t in range(_LSH_TABLES))
+    cand = spark.sql(f"""
+SELECT DISTINCT A.vec_a, B.vec_b FROM (
+  SELECT docs FROM (
+    SELECT t, bucket, collect_list(vec_id) AS docs
+    FROM (SELECT vec_id, v, posexplode(array({bucket_exprs})) AS (t, bucket)
+          FROM _embnd) tabs
+    GROUP BY t, bucket) g
+  WHERE size(docs) BETWEEN 2 AND 128) gg
+LATERAL VIEW explode(docs) A AS vec_a
+LATERAL VIEW explode(docs) B AS vec_b
+WHERE A.vec_a < B.vec_b""")
+    cand.persist(StorageLevel.MEMORY_AND_DISK).createOrReplaceTempView("_embnd_cand")
+    final = spark.sql("""
+SELECT vec_a, vec_b, ROUND(sim, 3) AS sim
+FROM (
+  SELECT c.vec_a, c.vec_b,
+         aggregate(zip_with(ea.v, eb.v, (x, y) -> x * y),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+           / (ea.nrm * eb.nrm) AS sim
+  FROM _embnd_cand c
+  JOIN _embnd ea ON ea.vec_id = c.vec_a
+  JOIN _embnd eb ON eb.vec_id = c.vec_b) s
+WHERE sim >= 0.9""")
+    _emb_nd_spark._state = {"spark": spark, "sf": sf_dir,
+                            "tmp": [emb, cand], "final": final}
+    return final
+
+
+_fn("dedup_embedding_neardup", ("embeddings",), _emb_nd_spark,
+    duck_sql=_emb_nd_sql("duck"))
 # embedding-cosine near-dup, scale-safe shape (VERDICT r1 items 3/4):
 # SIX random-hyperplane LSH tables (4 sparse sign bits each) instead of
 # one static axis-aligned code; candidate pairs only from buckets of
