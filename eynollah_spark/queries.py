@@ -25,9 +25,51 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+#: Tables whose consumers do heavy PER-ROW work scan-side (text
+#: tokenize/shingle/md5, 64-d vector math) — the ones where a
+#: single-row-group file serializes real compute. Relational tables
+#: (lineitem, orders, events, ...) only feed codegen'd aggregates and
+#: join probes, where the extra exchange measured as a net loss.
+_PARALLELIZE_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register sf_dir tables as temp views, with a scale-adaptive scan-
+    parallelism floor (r6, guide §2/§6) for the compute-heavy tables:
+    the sf tables are single-file, single-row-group parquet, so the scan
+    — and every operation Spark fuses into the scan stage
+    (tokenize+explode, md5, vector math) — runs as ONE task no matter
+    how many cores the session has. When the native split count
+    (bytes / maxPartitionBytes) is below the session's shuffle
+    parallelism, shuffle the (small, by definition) relation up to it;
+    on real multi-file tables the condition is false and this is a
+    no-op, so nothing extra is paid at 100 TB scale."""
+    import math
+    import os
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                         str(128 * 1024 * 1024))
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    try:
+        raw = raw.strip().lower().rstrip("b")
+        max_split = (int(raw[:-1]) * units[raw[-1]] if raw[-1] in units
+                     else int(raw))
+    except (ValueError, IndexError):
+        max_split = 128 * 1024 * 1024
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        path = f"{sf_dir}/{n}.parquet"
+        df = spark.read.parquet(path)
+        if n in _PARALLELIZE_TABLES:
+            try:
+                size = (os.path.getsize(path) if os.path.isfile(path) else
+                        sum(os.path.getsize(os.path.join(path, f))
+                            for f in os.listdir(path) if f.endswith(".parquet")))
+            except OSError:
+                size = None
+            if size is not None and math.ceil(size / max_split) < target:
+                df = df.repartition(target)
+        df.createOrReplaceTempView(n)
 
 
 def sf_of(sf_dir: str) -> float:
