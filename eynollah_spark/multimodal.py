@@ -52,12 +52,15 @@ def _fake_decode(payload: bytes):
     return w, ht, 3, float(int.from_bytes(h[12:14], "little") % 256), emb
 
 
-def decode_and_embed(media: DataFrame) -> DataFrame:
+def decode_and_embed(media: DataFrame, repartition: bool = True) -> DataFrame:
     """payload -> (dims, luma, unit-norm embedding), Arrow-batched.
 
     Real deployment swaps `_fake_decode` for cv2/PIL decode + a
     broadcast vision encoder; the batch shape and output schema stay
-    identical.
+    identical. ``repartition=False`` skips the defensive ref-hash
+    shuffle when the caller's input is already distributed by media_ref
+    (e.g. straight out of a dropDuplicates on the ref — re-shuffling the
+    payload bytes a second time on the same key is pure cost).
     """
     fake = os.environ.get("EYNOLLAH_SPARK_FAKE_DECODE", "1") == "1"
 
@@ -83,10 +86,11 @@ def decode_and_embed(media: DataFrame) -> DataFrame:
     from eynollah_spark.packaging import ensure_distributed
 
     ensure_distributed(media.sparkSession)
-    # media payloads are the skew driver: repartition by ref hash first
-    p = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return media.repartition(p, F.xxhash64("media_ref")).mapInPandas(
-        kernel, schema=DECODED_SCHEMA)
+    if repartition:
+        # media payloads are the skew driver: repartition by ref hash first
+        p = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        media = media.repartition(p, F.xxhash64("media_ref"))
+    return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
 VARIANT_SCHEMA = ("media_ref string, variant string, width int, height int, "
@@ -104,7 +108,9 @@ def variant_cache(media: DataFrame, target_w: int = 2000) -> DataFrame:
     media_ref; the decode-once/join-back plan is the cluster-scale
     replacement for the reference's in-memory per-page cache."""
     uniq = media.select("media_ref", "payload").dropDuplicates(["media_ref"])
-    dec = decode_and_embed(uniq)
+    # dropDuplicates already hash-distributed by media_ref — skip the
+    # decode stage's defensive re-shuffle of the payload bytes (r6)
+    dec = decode_and_embed(uniq, repartition=False)
     # both variants in ONE projection pass: a union of two selects over
     # `dec` would duplicate the decode subtree in the physical plan
     # (Spark re-executes multiply-referenced subplans)

@@ -1573,6 +1573,19 @@ def _repo_root() -> str:
 
 _ORACLE_EXPORT_DIR = _os.path.join(_repo_root(), ".cache", "oracle_exports")
 
+#: Per-process memo of completed oracle-truth exports (r6): the exports
+#: are pure deterministic functions of their arguments, so re-running
+#: one inside the same process for identical arguments rewrites
+#: byte-identical parquet — skip it (the file is still re-verified to
+#: exist, and a fresh process always re-exports).
+_EXPORT_DONE: dict[tuple, str] = {}
+
+
+def _export_memo(key: tuple, path: str) -> bool:
+    if _EXPORT_DONE.get(key) == path and _os.path.exists(path):
+        return True
+    return False
+
 
 def _export_corpus_flat(n: int, columns: tuple, name: str) -> str:
     """Driver-side corpus generation -> parquet for the DuckDB oracle.
@@ -1583,6 +1596,9 @@ def _export_corpus_flat(n: int, columns: tuple, name: str) -> str:
     from eynollah_spark.corpus import gen_corpus_flat
 
     path = _os.path.join(_ORACLE_EXPORT_DIR, f"{name}.parquet")
+    key = ("corpus_flat", name, n, columns)
+    if _export_memo(key, path):
+        return path
     _os.makedirs(_ORACLE_EXPORT_DIR, exist_ok=True)
     flat, _metas = gen_corpus_flat(n)
     cols = {}
@@ -1593,6 +1609,7 @@ def _export_corpus_flat(n: int, columns: tuple, name: str) -> str:
         else:
             cols[c] = pa.array(v)
     pq.write_table(pa.table(cols), path)
+    _EXPORT_DONE[key] = path
     return path
 
 
@@ -1675,6 +1692,10 @@ def _export_machine_ro_truth(n: int) -> None:
         order_doc_spans,
     )
 
+    path = _os.path.join(_ORACLE_EXPORT_DIR, "machine_ro_truth.parquet")
+    key = ("machine_ro_truth", n)
+    if _export_memo(key, path):
+        return
     flat, _metas = gen_corpus_flat(n)
     mask = flat["kind"] == "text"
     doc = flat["doc_id"][mask]
@@ -1699,7 +1720,8 @@ def _export_machine_ro_truth(n: int) -> None:
                                      type=pa.string()),
                   "ord": pa.array(np.concatenate(ord_l)),
                   "offset": pa.array(np.concatenate(off_l))}),
-        _os.path.join(_ORACLE_EXPORT_DIR, "machine_ro_truth.parquet"))
+        path)
+    _EXPORT_DONE[key] = path
 
 
 def _extract_machine_ro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1798,6 +1820,10 @@ def _export_media_truth(n: int) -> None:
 
     from eynollah_spark.multimodal import _fake_decode
 
+    path = _os.path.join(_ORACLE_EXPORT_DIR, "media_truth.parquet")
+    key = ("media_truth", n)
+    if _export_memo(key, path):
+        return
     refs, ws, hs, lumas = [], [], [], []
     for i in range(n):
         payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
@@ -1810,7 +1836,8 @@ def _export_media_truth(n: int) -> None:
                   "width": pa.array(ws, type=pa.int64()),
                   "height": pa.array(hs, type=pa.int64()),
                   "mean_luma": pa.array(lumas, type=pa.float64())}),
-        _os.path.join(_ORACLE_EXPORT_DIR, "media_truth.parquet"))
+        path)
+    _EXPORT_DONE[key] = path
 
 
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,14 +111,16 @@ def test_ann_probe_side_bucket_cap(spark):
 
     load_views(spark, SF_DIR, "embeddings")
     q = registry()["sim_ann_topk"]
-    # the SQL itself carries the cap on the probe side...
-    assert f"c.n <= {_ANN_PROBE_CAP}" in q["spark_sql"]
-    # ...and multi-probes distance-1 buckets (xor against bit masks)
-    assert "^" in q["spark_sql"]
-    # ...and the physical plan realizes the capped aggregate (a count
-    # aggregate feeding the probe join), with no cartesian fallback
-    p = _plan(spark.sql(q["spark_sql"]))
+    # r6: the Spark side became a materialize-once fn — assert the cap
+    # and the distance-1 multi-probe (xor) on the PHYSICAL plan the fn
+    # actually executes, which is the stronger form of the r2 check
+    p = _plan(q["spark_fn"](spark, SF_DIR))
+    assert f"<= {_ANN_PROBE_CAP}" in p
+    assert "^" in p
+    # ...and no cartesian fallback anywhere
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the frozen DuckDB oracle still carries the identical cap
+    assert f"c.n <= {_ANN_PROBE_CAP}" in q["duck_sql"]
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:
