@@ -31,9 +31,19 @@ _VOCAB = (
 ).split()
 
 
+_VOCAB_N = len(_VOCAB)
+
+
 def _mk_text(rng, doc_index, k):
-    words = " ".join(rng.choice(_VOCAB, size=3))
-    return f"d{doc_index}s{k:04d} {words}"
+    # rng.choice(list, size=3) re-wraps the 24-word list in an ndarray on
+    # EVERY call (~54% of gen_doc, profiled r6). Generator.choice with
+    # replace=True and no p draws exactly `integers(0, pop_size, size,
+    # dtype=int64)` — call that directly and index the list: identical
+    # words AND identical rng stream position (asserted over 200 seeds +
+    # a 3000-doc corpus hash before/after).
+    i = rng.integers(0, _VOCAB_N, size=3, dtype=np.int64)
+    return (f"d{doc_index}s{k:04d} "
+            f"{_VOCAB[i[0]]} {_VOCAB[i[1]]} {_VOCAB[i[2]]}")
 
 
 class _Builder:
