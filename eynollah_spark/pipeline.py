@@ -3,9 +3,11 @@
 Stage plan (explicit shuffle boundaries, SURVEY.md §3.1 lifecycle):
 
   scan (nested documents table; column-pruned: media payloads never read)
-    -> salted repartition on xxhash64(doc_id), heavy tail isolated
-       (north rule: skew from media-heavy docs is defused *before* the
-       kernel — AQE skew handling does not apply to UDF stages)
+    -> wide-keyspace repartition on xxhash64(doc_id); heavy-tail salting
+       is OPT-IN (r6: on a shared-bandwidth box spreading the
+       bandwidth-bound heavy kernels costs more than it saves — see
+       salted_repartition; AQE skew handling does not apply to UDF
+       stages either way)
     -> flatten (posexplode, narrow — preserves partitioning)
     -> sortWithinPartitions(doc_id, offset)  (no shuffle; canonical
        order -> bitwise-deterministic output)
@@ -31,27 +33,43 @@ from eynollah_spark.kernels.layout import DocSpans, layout_document, layout_perm
 from eynollah_spark.schemas import FLAT_OUT_SCHEMA, OUT_SCHEMA
 
 HEAVY_QUANTILE = 0.99
-#: Static heavy-doc span-count threshold (default). A full
+#: Static heavy-doc span-count threshold for OPT-IN salting (r6: the
+#: default is no salting, see salted_repartition). A full
 #: ``approx_percentile`` pre-scan costs an extra pass over the input at
 #: every invocation — at 100 TB that is an extra table read, so the
-#: default is static and the adaptive path is opt-in (sampled, not full).
+#: opt-in static cutoff is preferred over the sampled 'auto' path.
 DEFAULT_HEAVY_THRESHOLD = 4096
 _HEAVY_SAMPLE_FRACTION = 0.02
 
 
 def salted_repartition(df: DataFrame, partitions: int, heavy_quantile: float = HEAVY_QUANTILE,
-                       heavy_threshold: int | str | None = DEFAULT_HEAVY_THRESHOLD) -> DataFrame:
-    """Repartition documents by xxhash64(doc_id), isolating the media-heavy
-    tail (span count above the given quantile) into its own hash space so
-    a few 10^4-span docs cannot pile onto one partition (SURVEY.md §4
+                       heavy_threshold: int | str | None = None) -> DataFrame:
+    """Repartition documents by xxhash64(doc_id) over a wide bucket
+    keyspace; OPTIONALLY route the media-heavy tail (span count above
+    heavy_threshold) through an independent hash space (SURVEY.md §4
     'salted repartition'; replaces the reference's fork-pool page
     scheduling, eynollah.py:1994-2032).
 
-    heavy_threshold: int = static cutoff (default, zero extra scans);
-    'auto'/None = estimate the quantile from a small TABLESAMPLE (reads a
+    heavy_threshold: None = salting OFF (r6 DEFAULT, VERDICT r5 item 2):
+    on the recorded skew bench the salted variant consistently burned
+    ~20% more executor CPU than unsalted at identical per-partition
+    balance — the heavy docs' kernel is memory-bandwidth-bound, and
+    SPREADING them raises the number of heavy kernels running
+    concurrently on one box, so every one of them slows down (the same
+    shared-bandwidth ceiling the e2e control hits). The r5 chunked-CC
+    kernel fix removed the superlinear pathology salting was defending
+    against, so the dense-tail default is plain wide-keyspace hashing.
+    int = static cutoff, opt in for sparse CLUMPED tails on multi-node
+    clusters where each node brings its own bandwidth; 'auto' = estimate
+    the p-`heavy_quantile` cutoff from a small TABLESAMPLE (reads a
     fraction of the input, never a full extra pass)."""
+    if heavy_threshold is None:
+        width = 64 * partitions
+        return df.repartition(
+            2 * partitions,
+            F.pmod(F.xxhash64("doc_id"), F.lit(width)).cast("int"))
     df = df.withColumn("_n", F.size("spans"))
-    if heavy_threshold is None or heavy_threshold == "auto":
+    if heavy_threshold == "auto":
         thr = (
             df.sample(fraction=_HEAVY_SAMPLE_FRACTION, seed=7)
             .selectExpr(f"approx_percentile(_n, {heavy_quantile}) AS t")
@@ -59,19 +77,24 @@ def salted_repartition(df: DataFrame, partitions: int, heavy_quantile: float = H
         )
         heavy_threshold = int(thr if thr is not None else 1 << 30)
     # ONE scan, ONE exchange (r5; was two filter branches + union, which
-    # scanned the input twice — measured ~1.15x slower than unsalted on
-    # a dense 1%-tail corpus, eating the very benefit it bought): an
-    # explicit bucket id routes heavy docs into their own id range at
-    # FULL width (was partitions//4, which concentrated the heavy tail
-    # into few partitions and manufactured stragglers exactly when the
-    # tail is dense — ~6 heavy docs piled per heavy partition). Every
-    # partition is pure-light or pure-heavy (modulo rare bucket-hash
-    # collisions), so the scheduler interleaves long heavy tasks with
-    # short light ones and no light partition hides a heavy doc.
+    # scanned the input twice). r6 (ADVICE r5 / guide §2.5): bucket ids
+    # span a keyspace 64x wider than the partition count — the r5 form
+    # hashed `partitions` distinct ids into 2*partitions partitions, so
+    # by balls-in-bins ~1/e of partitions stayed EMPTY and colliding ids
+    # stacked (measured on the 1%-heavy-tail bench corpus: 100/256
+    # partitions non-empty, max/mean span load 11.6 unsalted / 8.1
+    # salted — the salted default LOST to unsalted in wall clock, r5
+    # skew artifact). With 64x ids every partition fills and max/mean
+    # drops to 6.7 unsalted / 4.6 salted. Heavy docs still draw from an
+    # independent hash (seed 1) in their own id range, so a clump of
+    # heavy docs that collides under the light hash cannot also collide
+    # under the heavy one; partitions are mixed heavy+light, and the
+    # balance comes from the id spread, not from heavy isolation.
+    width = 64 * partitions
     bucket = F.when(
         F.col("_n") > heavy_threshold,
-        F.lit(partitions) + F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(partitions)),
-    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(partitions))).cast("int")
+        F.lit(width) + F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(width)),
+    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(width))).cast("int")
     return (df.withColumn("_b", bucket)
             .repartition(2 * partitions, F.col("_b"))
             .drop("_n", "_b"))

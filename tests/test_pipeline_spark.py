@@ -253,3 +253,32 @@ def test_expected_check_kernel_equals_join_check(spark, corpus):
     assert k_tot > 0
     assert k_tot == j_tot
     assert k_map == j_map
+
+
+def test_salting_default_off_matches_forced_off(spark, corpus):
+    """r6 decision rule (VERDICT r5 item 2, option b): the DEFAULT
+    repartition is unsalted — identical row routing to the forced-off
+    threshold=2^30 form (the frozen bench's 'unsalted' leg), no
+    size(spans) evaluation in the plan — while an explicit threshold
+    still opts in to the heavy branch."""
+    from eynollah_spark.corpus import nest_corpus
+    from eynollah_spark.pipeline import salted_repartition
+
+    docs = nest_corpus(corpus)
+    default = salted_repartition(docs, partitions=8)
+    forced_off = salted_repartition(docs, partitions=8, heavy_threshold=1 << 30)
+    p_def = default._jdf.queryExecution().executedPlan().toString()
+    p_in = docs._jdf.queryExecution().executedPlan().toString()
+    assert "size(spans" not in p_def
+    # exactly ONE exchange beyond whatever the nested input itself needs
+    assert p_def.count("Exchange") == p_in.count("Exchange") + 1
+    # same rows land in the same partition ids under both forms
+    a = (default.select("doc_id", F.spark_partition_id().alias("p"))
+         .orderBy("doc_id").collect())
+    b = (forced_off.select("doc_id", F.spark_partition_id().alias("p"))
+         .orderBy("doc_id").collect())
+    assert a == b
+    # opt-in still salts: heavy docs take the independent hash space
+    opted = salted_repartition(docs, partitions=8, heavy_threshold=400)
+    p_opt = opted._jdf.queryExecution().executedPlan().toString()
+    assert "size(spans" in p_opt
