@@ -119,12 +119,30 @@ def read_as_of(spark: SparkSession, out_path: str,
     by_sid: dict[int, list[int]] = {}
     for p, sid in assign.items():
         by_sid.setdefault(sid, []).append(p)
-    frames = [
-        spark.read.option("basePath", _snap_dir(out_path, sid))
-        .parquet(*[os.path.join(_snap_dir(out_path, sid), f"part={p}")
-                   for p in sorted(parts)])
-        for sid, parts in sorted(by_sid.items())
-    ]
+    frames = []
+    for sid, parts in sorted(by_sid.items()):
+        # ADVICE r5 (medium): run_extraction records EVERY bucket of a
+        # batch in the manifest, but partitionBy materializes no
+        # directory for a bucket that got zero docs — a missing part dir
+        # is an EMPTY relation, not an error. Skip absent paths instead
+        # of letting the reader throw PATH_NOT_FOUND.
+        paths = [pp for p in sorted(parts)
+                 if os.path.isdir(pp := os.path.join(_snap_dir(out_path, sid),
+                                                     f"part={p}"))]
+        if paths:
+            frames.append(
+                spark.read.option("basePath", _snap_dir(out_path, sid))
+                .parquet(*paths))
+    if not frames:
+        # every referenced bucket was empty: an empty table with the
+        # documented flat sink schema (+ the part column partitionBy adds)
+        from pyspark.sql import types as T
+
+        from eynollah_spark.schemas import FLAT_OUT_SCHEMA
+
+        schema = T.StructType(
+            FLAT_OUT_SCHEMA.fields + [T.StructField("part", T.IntegerType())])
+        return spark.createDataFrame([], schema=schema)
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
@@ -220,17 +238,30 @@ def run_extraction(docs: DataFrame, out_path: str, n_parts: int = 8,
         # re-aggregating the uncached `out` plan (which would re-run the
         # whole kernel stage a second time per batch); this also makes
         # the recorded metrics reflect the committed files.
-        committed = (spark.table(iceberg_table) if use_iceberg
-                     else spark.read.parquet(_snap_dir(out_path, sid)))
-        written = committed.filter(F.col("part").isin(batch))
-        stats = (written.groupBy("part")
-                 .agg(F.count("*").alias("spans"),
-                      F.countDistinct("doc_id").alias("docs")))
-        hist = (written.groupBy("part", "kind").count()
-                .groupBy("part")
-                .agg(F.to_json(F.map_from_entries(
-                    F.collect_list(F.struct("kind", "count")))).alias("kind_hist")))
-        rows = {r["part"]: r.asDict() for r in stats.join(hist, "part", "left").collect()}
+        sd = _snap_dir(out_path, sid)
+        if use_iceberg:
+            committed = spark.table(iceberg_table)
+        elif os.path.isdir(sd) and any(d.startswith("part=")
+                                       for d in os.listdir(sd)):
+            committed = spark.read.parquet(sd)
+        else:
+            # ADVICE r5: an all-empty batch materializes no part dirs —
+            # there is nothing to re-read ('unable to infer schema');
+            # every bucket records zero docs below
+            committed = None
+        if committed is None:
+            rows = {}
+        else:
+            written = committed.filter(F.col("part").isin(batch))
+            stats = (written.groupBy("part")
+                     .agg(F.count("*").alias("spans"),
+                          F.countDistinct("doc_id").alias("docs")))
+            hist = (written.groupBy("part", "kind").count()
+                    .groupBy("part")
+                    .agg(F.to_json(F.map_from_entries(
+                        F.collect_list(F.struct("kind", "count")))).alias("kind_hist")))
+            rows = {r["part"]: r.asDict()
+                    for r in stats.join(hist, "part", "left").collect()}
         wall = time.time() - t0
         parts_meta = {}
         for p in batch:

@@ -62,14 +62,19 @@ def ensure_distributed(spark: SparkSession) -> None:
     key = id(sc)
     if key in _shipped:
         return
+    zip_path = build_zip()
     try:
-        already = any("eynollah_spark" in f and f.endswith(".zip")
-                      for f in sc.listFiles)
+        # ADVICE r5: match the EXACT content-addressed basename, not any
+        # '*eynollah_spark*.zip' — a session that shipped hash A must
+        # still ship a rebuilt hash-B zip, or executors keep importing
+        # stale code (the staleness the content-addressing exists to fix)
+        base = os.path.basename(zip_path)
+        already = any(os.path.basename(f) == base for f in sc.listFiles)
     except Exception:
         already = False
     if not already:
         try:
-            sc.addPyFile(build_zip())
+            sc.addPyFile(zip_path)
         except Exception:
             pass  # already added under the same name — fine
     _shipped.add(key)

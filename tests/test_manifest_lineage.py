@@ -140,3 +140,28 @@ def test_snapshot_time_travel_and_rollback(spark, tmp_path):
     # and the old snapshot is STILL time-travel-readable
     assert read_as_of(spark, out, snapshot_id=1).count() == n_v1
     assert [s_["snapshot_id"] for s_ in snapshots(out)] == [1, 3]
+
+
+def test_read_as_of_tolerates_empty_buckets(spark, tmp_path):
+    """ADVICE r5 (medium): run_extraction records every bucket of a batch
+    in the manifest, but partitionBy materializes no part=<p> directory
+    for a bucket that received zero docs — with 3 docs over n_parts=8
+    most buckets are empty and read_as_of used to throw PATH_NOT_FOUND.
+    Empty bucket == empty relation; an ALL-empty table reads as an empty
+    DataFrame with the flat sink schema."""
+    from eynollah_spark.manifest import read_as_of, run_extraction
+
+    out = str(tmp_path / "sparse")
+    docs = nest_corpus(corpus_flat_spark(spark, 3, partitions=2))
+    s = run_extraction(docs, out, n_parts=8, partitions=4)
+    assert s["processed"] == 8
+    df = read_as_of(spark, out)
+    n_docs = df.select("doc_id").distinct().count()
+    assert n_docs == docs.count()
+    # all-empty table: zero docs still commits snapshots that read back
+    # as an empty relation with the table schema
+    out2 = str(tmp_path / "empty")
+    run_extraction(docs.limit(0), out2, n_parts=4, partitions=4)
+    empty = read_as_of(spark, out2)
+    assert empty.count() == 0
+    assert "doc_id" in empty.columns and "part" in empty.columns
