@@ -821,7 +821,20 @@ chunks AS (
   SELECT doc_id, simhash, c, {shift} % 32768 AS chunk
   FROM sims {'LATERAL VIEW explode(sequence(0, 3)) cc AS c'
              if d == 'spark' else ', UNNEST(range(0, 4)) AS cc(c)'}
-),
+),{'''
+glist AS (
+  -- r6: the 2..64 bucket cap applied to the GROUPED list length (one
+  -- aggregate) instead of a COUNT window before the same-keyed
+  -- collect_list (the window paid an extra sort on the (c, chunk)
+  -- exchange; the pair explosion downstream is order-insensitive, so
+  -- the cap semantics are identical)
+  SELECT c, chunk, docs FROM (
+    SELECT c, chunk,
+           collect_list(CONCAT(CAST(doc_id AS STRING), ':',
+                               CAST(simhash AS STRING))) AS docs
+    FROM chunks GROUP BY c, chunk) g
+  WHERE size(docs) BETWEEN 2 AND 64
+),''' if d == 'spark' else f'''
 capped AS (
   SELECT doc_id, simhash, c, chunk FROM (
     SELECT doc_id, simhash, c, chunk,
@@ -833,7 +846,7 @@ glist AS (
   SELECT c, chunk,
          {lst}(CONCAT(CAST(doc_id AS {st}), ':', CAST(simhash AS {st}))) AS docs
   FROM capped GROUP BY c, chunk
-),
+),'''}
 cand AS (
   SELECT DISTINCT doc_a, doc_b, sa, sb FROM ({explode}
   ) WHERE doc_a < doc_b
