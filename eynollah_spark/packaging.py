@@ -62,6 +62,13 @@ def ensure_distributed(spark: SparkSession) -> None:
     key = id(sc)
     if key in _shipped:
         return
+    if not os.path.isdir(_PKG_DIR):
+        # the package is imported FROM a zip (spark-submit --py-files):
+        # the running code IS the shipped artifact and there is no source
+        # tree to rebuild from — nothing to do (build_zip would try to
+        # mkdir inside the zip path)
+        _shipped.add(key)
+        return
     zip_path = build_zip()
     try:
         # ADVICE r5: match the EXACT content-addressed basename, not any
