@@ -32,11 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_flat_input(flat)
 
 
-def _make_sql_fn(sql: str, tables: tuple) -> Callable[[SparkSession, str], DataFrame]:
-    def fn(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables) -> DataFrame:
+def _make_sql_fn(sql: str, tables: tuple,
+                 scan_floor: bool = False) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables,
+           _floor=scan_floor) -> DataFrame:
         from eynollah_spark.queries import load_views
 
-        load_views(spark, sf_dir, *_tables)
+        load_views(spark, sf_dir, *_tables, scan_floor=_floor)
         return spark.sql(_sql)
 
     return fn
@@ -50,7 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if "spark_fn" in q:
             out[name] = q["spark_fn"]
         else:
-            out[name] = _make_sql_fn(q["spark_sql"], q["tables"])
+            out[name] = _make_sql_fn(q["spark_sql"], q["tables"],
+                                     q.get("scan_floor", False))
     return out
 
 

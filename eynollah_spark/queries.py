@@ -33,17 +33,27 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 _PARALLELIZE_TABLES = frozenset({"documents", "embeddings"})
 
 
-def load_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    """Register sf_dir tables as temp views, with a scale-adaptive scan-
-    parallelism floor (r6, guide §2/§6) for the compute-heavy tables:
-    the sf tables are single-file, single-row-group parquet, so the scan
-    — and every operation Spark fuses into the scan stage
-    (tokenize+explode, md5, vector math) — runs as ONE task no matter
-    how many cores the session has. When the native split count
-    (bytes / maxPartitionBytes) is below the session's shuffle
-    parallelism, shuffle the (small, by definition) relation up to it;
-    on real multi-file tables the condition is false and this is a
-    no-op, so nothing extra is paid at 100 TB scale."""
+def load_views(spark: SparkSession, sf_dir: str, *names: str,
+               scan_floor: bool = False) -> None:
+    """Register sf_dir tables as temp views, optionally with a scale-
+    adaptive scan-parallelism floor (r6, guide §2/§6): the sf tables are
+    single-file, single-ROW-GROUP parquet, so the scan — and every
+    operation Spark fuses into the scan stage (tokenize+explode, md5,
+    vector math) — runs as ONE task no matter how many cores the
+    session has, and file splitting cannot help. With scan_floor=True,
+    when a table's native split count (bytes / maxPartitionBytes) is
+    below the session's shuffle parallelism, shuffle the (small, by
+    definition) relation up to it; on real multi-file tables the
+    condition is false and this is a no-op, so nothing extra is paid at
+    100 TB scale.
+
+    Opt-in PER QUERY (registry key 'scan_floor'), restricted to the
+    text/embedding tables: only queries doing heavy per-row work
+    scan-side (shingle/token md5, 60-bit simhash votes, 64-d vector
+    math) amortize the extra exchange — for light consumers (per-doc
+    md5, synthesized-lines windows, codegen'd aggregates) the same
+    shuffle measured as a net LOSS of 0.1-0.4 s each (r6 full-bench
+    A/B), so they keep the native scan."""
     import math
     import os
 
@@ -60,7 +70,7 @@ def load_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for n in names:
         path = f"{sf_dir}/{n}.parquet"
         df = spark.read.parquet(path)
-        if n in _PARALLELIZE_TABLES:
+        if scan_floor and n in _PARALLELIZE_TABLES:
             try:
                 size = (os.path.getsize(path) if os.path.isfile(path) else
                         sum(os.path.getsize(os.path.join(path, f))
@@ -125,17 +135,21 @@ regions AS (
 _Q: dict[str, dict] = {}
 
 
-def _sql_pair(name, tables, spark_sql, duck_sql):
-    _Q[name] = {"tables": tables, "spark_sql": spark_sql, "duck_sql": duck_sql}
+def _sql_pair(name, tables, spark_sql, duck_sql, scan_floor=False):
+    _Q[name] = {"tables": tables, "spark_sql": spark_sql,
+                "duck_sql": duck_sql, "scan_floor": scan_floor}
 
 
 def _fn(name, tables, spark_fn, duck_sql=None):
     _Q[name] = {"tables": tables, "spark_fn": spark_fn, "duck_sql": duck_sql}
 
 
-def _both(name, tables, body_of):
-    """Same query text in both dialects, parameterized by dialect."""
-    _sql_pair(name, tables, body_of("spark"), body_of("duck"))
+def _both(name, tables, body_of, scan_floor=False):
+    """Same query text in both dialects, parameterized by dialect.
+    scan_floor: this query's scan-side per-row work is heavy enough to
+    amortize the load_views parallelism floor (see load_views)."""
+    _sql_pair(name, tables, body_of("spark"), body_of("duck"),
+              scan_floor=scan_floor)
 
 
 # --- A. relational skeleton of the layout operators -------------------------
@@ -646,7 +660,7 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail recompute on every call."""
     from pyspark import StorageLevel
 
-    load_views(spark, sf_dir, "documents")
+    load_views(spark, sf_dir, "documents", scan_floor=True)
     state = getattr(_ngram_jaccard_spark, "_state", None)
     ds = None
     if state is not None:
@@ -857,12 +871,12 @@ WHERE bit_count({xr}) <= 3
 """
 
 
-_both("dedup_simhash_neardup", ("documents",), _simhash_nd_sql)
+_both("dedup_simhash_neardup", ("documents",), _simhash_nd_sql, scan_floor=True)
 # SimHash near-dup at scale: 60-bit signatures, Hamming-bucket join via
 # the pigeonhole chunks (distance <=3 => at least one of 4 15-bit chunks
 # equal), capped buckets, exact popcount filter on candidates only.
 
-_both("text_quality_score", ("documents",), lambda d: f"""
+_both("text_quality_score", ("documents",), scan_floor=True, body_of=lambda d: f"""
 SELECT doc_id,
        length(text) AS n_chars_measured,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens,
@@ -888,7 +902,7 @@ FROM documents
 # standalone `text_token_count` was a column-subset twin and was
 # consolidated here (VERDICT r3 item 1).
 
-_both("text_lang_id", ("documents",), lambda d: f"""
+_both("text_lang_id", ("documents",), scan_floor=True, body_of=lambda d: f"""
 WITH {_tokens_cte(d)},
 votes AS (
   SELECT doc_id,
@@ -917,7 +931,7 @@ FROM per_source
 # whole low-quality sources before per-doc filtering — one aggregate
 # pass, no per-doc work for dropped sources).
 
-_both("text_fingerprint", ("documents",), lambda d: f"""
+_both("text_fingerprint", ("documents",), scan_floor=True, body_of=lambda d: f"""
 WITH {_shingles_cte(d)}
 SELECT doc_id, MIN(sh) AS fingerprint
 FROM shingles GROUP BY doc_id
@@ -960,7 +974,7 @@ FROM c LEFT JOIN rep r ON c.chunk = r.chunk
 GROUP BY c.doc_id
 """
 
-_both("dedup_boilerplate_chunks", ("documents",), _boiler_sql)
+_both("dedup_boilerplate_chunks", ("documents",), _boiler_sql, scan_floor=True)
 # sub-document (passage-level) dedup: the training-data op exact/MinHash
 # doc dedup does not cover — repeated boilerplate inside otherwise-unique
 # docs. Chunk inventory is bounded (disjoint-stride windows), the
@@ -1012,7 +1026,7 @@ SELECT 'view>click>purchase' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
 def _sim_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    load_views(spark, sf_dir, "embeddings")
+    load_views(spark, sf_dir, "embeddings", scan_floor=True)
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     # precompute each vector's norm ONCE (r6): the r5 form re-evaluated
     # the interpreted higher-order SQRT(SUM(x^2)) per (query, vector)
@@ -1209,7 +1223,7 @@ def _ann_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated once per vector instead of once per pair side."""
     from pyspark import StorageLevel
 
-    load_views(spark, sf_dir, "embeddings")
+    load_views(spark, sf_dir, "embeddings", scan_floor=True)
     state = getattr(_ann_topk_spark, "_state", None)
     if state is not None:
         for h in state["tmp"]:
@@ -1293,7 +1307,7 @@ def _emb_nd_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       applies to the unrounded value exactly as the SQL form does."""
     from pyspark import StorageLevel
 
-    load_views(spark, sf_dir, "embeddings")
+    load_views(spark, sf_dir, "embeddings", scan_floor=True)
     state = getattr(_emb_nd_spark, "_state", None)
     if state is not None:
         for h in state["tmp"]:
