@@ -704,9 +704,13 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds.createOrReplaceTempView("_jacc_ds")
 
     # candidate pairs: the minhash chain of _minhash_chain_cte, written
-    # as nested subqueries (NOT CTEs, see above) over the cached view
+    # as nested subqueries (NOT CTEs, see above) over the cached view.
+    # `sh % P` is hoisted into the scan projection — the r5 form
+    # re-evaluated it inside all 128 MIN expressions (127 redundant mods
+    # per shingle row); (a*shp + c) % P over the hoisted shp is the
+    # identical integer arithmetic.
     mins = ",\n         ".join(
-        f"MIN(({_mh_a(i)} * (sh % {_MH_P}) + {_mh_c(i)}) % {_MH_P}) AS m{i}"
+        f"MIN(({_mh_a(i)} * shp + {_mh_c(i)}) % {_MH_P}) AS m{i}"
         for i in range(_MH_K))
     band_sigs = ", ".join(
         _hash32("spark", "CONCAT_WS(',', " + ", ".join(
@@ -726,7 +730,8 @@ SELECT doc_a, doc_b, COUNT(*) AS n_bands FROM (
       FROM (SELECT doc_id, posexplode(array({band_sigs})) AS (band, sig)
             FROM (SELECT doc_id,
                          {mins}
-                  FROM _jacc_ds GROUP BY doc_id) mh) sigs
+                  FROM (SELECT doc_id, sh % {_MH_P} AS shp FROM _jacc_ds) s
+                  GROUP BY doc_id) mh) sigs
       GROUP BY band, sig) g
     WHERE size(docs) BETWEEN 2 AND 64) gg
   LATERAL VIEW explode(docs) A AS doc_a
